@@ -1,0 +1,28 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh so the distributed code paths are
+exercised without TPU hardware, and with x64 enabled so the solver can be
+validated against float64 references.
+"""
+
+import os
+import sys
+
+# Force CPU: the session environment pins JAX_PLATFORMS=axon (TPU tunnel),
+# which would make every test compile remotely.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The session's sitecustomize force-registers the axon (TPU tunnel) PJRT
+# plugin and re-exports JAX_PLATFORMS=axon; the config update below wins
+# over the env var, keeping tests on the local CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
