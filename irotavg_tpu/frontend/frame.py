@@ -1,0 +1,72 @@
+"""Frame — per-image feature bundle (fixed-capacity arrays + mask).
+
+Parity with src/Frame.{hpp,cpp}: keypoints, undistorted keypoints,
+descriptors, spatial grid assignment, and (when a vocabulary is attached)
+BoW vectors.  The reference's ctor pipeline `findFeatures ->
+undistortKeypoints -> assignFeaturesToGrid -> computeBoW`
+(src/Frame.hpp:54-64) runs here as: extractor call (compiled pyramid
+program) -> vectorised undistortion -> cell ids -> optional vocab
+transform.  `getFeaturesInArea` (src/Frame.cpp:201-260) has no grid walk:
+radius queries are masked comparisons over the padded arrays, done inside
+the matching kernels instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from irotavg_tpu.frontend.camera import Camera
+
+
+class Frame:
+    """Feature bundle for one image.
+
+    Attributes (N = extractor capacity, masked by ``valid``):
+      x, y:        level-0 keypoint coords (px, distorted/original)
+      xu, yu:      undistorted coords (== x, y when k1 == 0)
+      octave:      pyramid level per keypoint
+      angle:       orientation (radians)
+      response:    FAST corner score
+      size:        scaled patch diameter
+      desc:        (N, 8) uint32 BRIEF-256 words
+      valid:       (N,) bool
+      cell:        (N, 2) int32 undistorted-grid (col, row), -1 outside
+      bow, feat_nodes: filled by Vocabulary.transform (placerec)
+    """
+
+    def __init__(self, frame_id: int, image, extractor, camera: Camera,
+                 vocab=None):
+        self.id = frame_id
+        out = extractor(image)
+        self.x = np.asarray(out["x0"])
+        self.y = np.asarray(out["y0"])
+        self.octave = np.asarray(out["octave"])
+        self.angle = np.asarray(out["angle"])
+        self.response = np.asarray(out["response"])
+        self.size = np.asarray(out["size"])
+        self.desc = np.asarray(out["desc"])
+        self.valid = np.asarray(out["valid"])
+        self.camera = camera
+
+        if camera.has_distortion:
+            self.xu, self.yu = camera.undistort_points(self.x, self.y)
+        else:
+            self.xu, self.yu = self.x, self.y
+
+        cx, cy = camera.grid_cell(self.xu, self.yu)
+        self.cell = np.stack([cx, cy], axis=1)
+
+        self.bow = None          # (word_id -> weight) dict, L1-normalised
+        self.feat_nodes = None   # (N,) int32 vocab node id at levelsup
+        if vocab is not None:
+            self.compute_bow(vocab)
+
+    @property
+    def n_valid(self) -> int:
+        return int(self.valid.sum())
+
+    def compute_bow(self, vocab, levelsup: int = 4) -> None:
+        """Vocabulary transform (src/Frame.cpp:263-274, ORB_VOCAB_LEVELS=4)."""
+        self.bow, self.feat_nodes = vocab.transform(
+            self.desc, self.valid, levelsup=levelsup
+        )
