@@ -1,0 +1,134 @@
+"""Two-view relative pose estimation + epipolar-rematch refinement.
+
+Host-level orchestration around the jitted RANSAC/recovery kernels,
+mirroring `ViewGraph::findRelativePose` (src/ViewGraph.cpp:600-650) and
+`ViewGraph::refinePose` (:725-783): alternate (re)matching gated by the
+current fundamental matrix with re-estimation, keeping the pose while the
+cheirality-inlier count grows (max 10 rounds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from irotavg_tpu import so3
+from irotavg_tpu.geometry.essential import ransac_essential, recover_pose
+from irotavg_tpu.matching.matchers import match_epipolar, matches_to_pairs
+
+
+@dataclasses.dataclass
+class RelativePose:
+    """Result of a two-view solve: x2 ~ R x1 + t (camera-1 to camera-2)."""
+
+    R: np.ndarray            # (3, 3)
+    t: np.ndarray            # (3,)
+    E: np.ndarray            # (3, 3) essential matrix (normalised coords)
+    n_cheirality: int        # inliers passing depth test
+    inlier_mask: np.ndarray  # (M,) over the input pairs
+
+    @property
+    def q(self) -> np.ndarray:
+        """Relative rotation as [x y z w] (edge convention R_j = R_ij R_i)."""
+        return np.asarray(so3.rotmat_to_quat(self.R))
+
+
+def _bucket(n, lo=64):
+    b = lo
+    while b < n:
+        b <<= 1
+    return b
+
+
+@dataclasses.dataclass(frozen=True)
+class _TwoViewSolver:
+    n_samples: int = 1024
+
+    def __call__(self, p1, p2, valid, key, th_norm):
+        E, inl, _ = ransac_essential(
+            p1, p2, valid, key, th_norm=th_norm, n_samples=self.n_samples
+        )
+        R, t, n_che, pose_mask = recover_pose(E, p1, p2, inl)
+        return E, R, t, n_che, pose_mask
+
+
+_solver = _TwoViewSolver()
+_solve_jit = jax.jit(_solver.__call__)
+
+
+def find_relative_pose(f1, f2, pairs, camera, *, th: float = 1.0,
+                       seed: int = 0) -> RelativePose | None:
+    """Estimate the relative pose from matched feature pairs.
+
+    ``pairs``: (M, 2) indices into f1/f2 features (undistorted coords are
+    used, like the reference).  Returns None when M <= 4 (reference
+    asserts) or RANSAC support is too small (<= 6 inliers, reference
+    check at src/ViewGraph.cpp:637).
+    """
+    m = len(pairs)
+    if m <= 4:
+        return None
+    # normalised coords (undistorted pixels -> K^-1)
+    x1 = (f1.xu[pairs[:, 0]] - camera.cx) / camera.fx
+    y1 = (f1.yu[pairs[:, 0]] - camera.cy) / camera.fy
+    x2 = (f2.xu[pairs[:, 1]] - camera.cx) / camera.fx
+    y2 = (f2.yu[pairs[:, 1]] - camera.cy) / camera.fy
+
+    mp = _bucket(m)
+    p1 = np.zeros((mp, 2), np.float32)
+    p2 = np.zeros((mp, 2), np.float32)
+    p1[:m, 0], p1[:m, 1] = x1, y1
+    p2[:m, 0], p2[:m, 1] = x2, y2
+    valid = np.zeros(mp, bool)
+    valid[:m] = True
+
+    th_norm = th / float(camera.fx)
+    E, R, t, n_che, pose_mask = _solve_jit(
+        jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(valid),
+        jax.random.key(seed), jnp.float32(th_norm),
+    )
+    n_che = int(n_che)
+    if n_che <= 6:
+        return None
+    return RelativePose(
+        R=np.asarray(R, np.float64),
+        t=np.asarray(t, np.float64),
+        E=np.asarray(E, np.float64),
+        n_cheirality=n_che,
+        inlier_mask=np.asarray(pose_mask)[:m],
+    )
+
+
+def refine_pose(f1, f2, rel: RelativePose, pairs, camera, *,
+                min_matches: int = 100, max_iters: int = 10,
+                seed: int = 1) -> tuple[RelativePose, np.ndarray]:
+    """Alternate epipolar-guided rematching and re-estimation
+    (`ViewGraph::refinePose`).  Returns (best_pose, inlier_pairs)."""
+    K = camera.K
+    K_inv = np.linalg.inv(K)
+
+    best = rel
+    best_pairs = pairs[rel.inlier_mask] if rel is not None else pairs
+    best_inlrs = len(pairs)
+
+    for it in range(max_iters):
+        F = K_inv.T @ best.E @ K_inv
+        m12 = match_epipolar(f1, f2, F)
+        new_pairs = matches_to_pairs(m12)
+        if len(new_pairs) < 0.75 * min_matches:
+            break
+        cand = find_relative_pose(
+            f1, f2, new_pairs, camera, seed=seed + it
+        )
+        if cand is None:
+            break
+        if cand.n_cheirality > best_inlrs:
+            best_inlrs = cand.n_cheirality
+            best = cand
+            best_pairs = new_pairs[cand.inlier_mask]
+        else:
+            break
+    return best, best_pairs

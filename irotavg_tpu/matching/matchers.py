@@ -1,0 +1,226 @@
+"""Descriptor matchers as masked reductions over the Hamming matrix.
+
+Parity contracts (src/ViewGraph.cpp):
+
+* ``match_by_bow``    — `findORBMatchesByBoW` (:125-295): candidates share a
+  vocabulary node; best/second-best with ratio ``d1 < nnratio*d2`` and
+  ``d1 <= TH_LOW``; rotation-histogram pruning; one match per target.
+* ``match_epipolar``  — `findORBMatches` (:298-437): candidates share a
+  node AND satisfy the epipolar gate ``dist^2 < 3.84 sigma^2(octave1)``
+  for the line of p2 mapped by F12 (the reference calls
+  `checkDistEpipolarLine(kp2, kp1, F12)`, :40-61, i.e. line = F12^T p2
+  evaluated at p1); best under TH_LOW, no ratio test; rotation pruning.
+* ``match_locally``   — `findORBMatchesLocally` (:440-569): candidates lie
+  within ``radius`` px of a per-keypoint guess position and within +/-2
+  octaves; ratio test; stealing resolved by keeping the smaller distance
+  per target (the reference's order-dependent steal converges to the
+  same in all but adversarial ties); no rotation pruning.
+
+Divergences (documented, deliberate):
+* conflict resolution for a contested target keeps the globally smallest
+  distance rather than the reference's scan-order first/last-wins;
+* the rotation histogram replicates the reference's ``bin =
+  round(delta_deg / 30)`` quirk (only bins 0..12 ever populated —
+  inherited from ORB-SLAM2) so pruning behavior matches.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from irotavg_tpu.ops.hamming import hamming_matrix
+
+TH_LOW = 50          # src/ViewGraph.cpp:33
+HISTO_LENGTH = 30    # src/ViewGraph.cpp:32
+_BIG = 10_000
+
+
+def _best_two(D, mask):
+    """Per-row best/second distances + best index over masked columns."""
+    Dm = jnp.where(mask, D, _BIG)
+    best_idx = jnp.argmin(Dm, axis=1)
+    d1 = jnp.take_along_axis(Dm, best_idx[:, None], axis=1)[:, 0]
+    D2 = Dm.at[jnp.arange(Dm.shape[0]), best_idx].set(_BIG)
+    d2 = jnp.min(D2, axis=1)
+    return d1, d2, best_idx
+
+
+def _resolve_conflicts(matches12, dists, n2):
+    """Keep, for each contested target j, the row with minimal distance
+    (ties -> smaller row index)."""
+    n1 = matches12.shape[0]
+    j = jnp.where(matches12 >= 0, matches12, n2)  # padded row -> virtual col
+    key = dists * (n1 + 1) + jnp.arange(n1)       # unique, orders by (dist, i)
+    best_key = (
+        jnp.full((n2 + 1,), _BIG * (n1 + 1) + n1, key.dtype)
+        .at[j]
+        .min(key)
+    )
+    winner = best_key[j] == key
+    return jnp.where((matches12 >= 0) & winner, matches12, -1)
+
+
+def _rot_bins(angle1_rad, angle2_rad, matches12):
+    """The reference's histogram bin per row (quirk included)."""
+    a1 = jnp.degrees(angle1_rad)
+    a2 = jnp.degrees(angle2_rad)
+    rot = a1 - a2[jnp.clip(matches12, 0, None)]
+    rot = jnp.where(rot < 0, rot + 360.0, rot)
+    bins = jnp.round(rot * (1.0 / HISTO_LENGTH)).astype(jnp.int32)
+    return jnp.where(bins == HISTO_LENGTH, 0, bins)
+
+
+@functools.partial(jax.jit, inline=True)
+def rotation_consistency_filter(matches12, angle1_rad, angle2_rad):
+    """Drop matches outside the 3 dominant rotation-histogram bins
+    (`computeThreeMaxima`, src/ViewGraph.cpp:64-103: second/third maxima
+    kept only if >= 0.1x the first)."""
+    bins = _rot_bins(angle1_rad, angle2_rad, matches12)
+    valid = matches12 >= 0
+    counts = (
+        jnp.zeros((HISTO_LENGTH,), jnp.int32)
+        .at[jnp.where(valid, bins, 0)]
+        .add(valid.astype(jnp.int32))
+    )
+    c1 = jnp.max(counts)
+    i1 = jnp.argmax(counts)
+    counts2 = counts.at[i1].set(-1)
+    c2 = jnp.max(counts2)
+    i2 = jnp.argmax(counts2)
+    counts3 = counts2.at[i2].set(-1)
+    c3 = jnp.max(counts3)
+    i3 = jnp.argmax(counts3)
+
+    keep2 = c2.astype(jnp.float32) >= 0.1 * c1.astype(jnp.float32)
+    keep3 = c3.astype(jnp.float32) >= 0.1 * c1.astype(jnp.float32)
+    ok = (bins == i1) | (keep2 & (bins == i2)) | (keep2 & keep3 & (bins == i3))
+    return jnp.where(valid & ok, matches12, -1)
+
+
+def _node_mask(nodes1, nodes2, valid1, valid2):
+    m = valid1[:, None] & valid2[None, :]
+    if nodes1 is not None and nodes2 is not None:
+        m &= nodes1[:, None] == nodes2[None, :]
+    return m
+
+
+@functools.partial(jax.jit, inline=True, static_argnames=("check_orientation",))
+def _match_by_bow_core(desc1, nodes1, valid1, angle1,
+                       desc2, nodes2, valid2, angle2,
+                       nnratio, check_orientation=True):
+    D = hamming_matrix(desc1, desc2)
+    mask = _node_mask(nodes1, nodes2, valid1, valid2)
+    d1, d2, best = _best_two(D, mask)
+    ok = (d1 <= TH_LOW) & (d1.astype(jnp.float32) < nnratio * d2.astype(jnp.float32))
+    matches12 = jnp.where(ok, best, -1)
+    matches12 = _resolve_conflicts(matches12, d1, desc2.shape[0])
+    if check_orientation:
+        matches12 = rotation_consistency_filter(matches12, angle1, angle2)
+    return matches12
+
+
+@functools.partial(jax.jit, inline=True)
+def _match_epipolar_core(desc1, nodes1, valid1, angle1, x1, y1, oct1,
+                         desc2, nodes2, valid2, angle2, x2, y2,
+                         F12, sigma2_oct):
+    D = hamming_matrix(desc1, desc2)
+    mask = _node_mask(nodes1, nodes2, valid1, valid2)
+
+    # line of p2 through F12^T, evaluated at p1 (reference arg order)
+    a = x2 * F12[0, 0] + y2 * F12[1, 0] + F12[2, 0]
+    b = x2 * F12[0, 1] + y2 * F12[1, 1] + F12[2, 1]
+    c = x2 * F12[0, 2] + y2 * F12[1, 2] + F12[2, 2]
+    num = a[None, :] * x1[:, None] + b[None, :] * y1[:, None] + c[None, :]
+    den = (a * a + b * b)[None, :]
+    dsq = jnp.where(den > 0, num * num / jnp.maximum(den, 1e-12), jnp.inf)
+    th = 3.84 * sigma2_oct[oct1][:, None]
+    mask &= dsq < th
+
+    d1, _, best = _best_two(D, mask)
+    matches12 = jnp.where(d1 <= TH_LOW, best, -1)
+    matches12 = _resolve_conflicts(matches12, d1, desc2.shape[0])
+    return rotation_consistency_filter(matches12, angle1, angle2)
+
+
+@functools.partial(jax.jit, inline=True)
+def _match_locally_core(desc1, valid1, oct1, gx, gy,
+                        desc2, valid2, oct2, x2, y2,
+                        radius, nnratio):
+    D = hamming_matrix(desc1, desc2)
+    mask = valid1[:, None] & valid2[None, :]
+    # square search window (the reference's grid query is a box, then
+    # per-cell rectangles; Frame::getFeaturesInArea filters |dx|,|dy| <= r)
+    mask &= jnp.abs(x2[None, :] - gx[:, None]) <= radius
+    mask &= jnp.abs(y2[None, :] - gy[:, None]) <= radius
+    lo = jnp.maximum(oct1 - 2, 0)
+    hi = jnp.minimum(oct1 + 2, 7)
+    mask &= (oct2[None, :] >= lo[:, None]) & (oct2[None, :] <= hi[:, None])
+
+    d1, d2, best = _best_two(D, mask)
+    ok = (d1 <= TH_LOW) & (d1.astype(jnp.float32) < nnratio * d2.astype(jnp.float32))
+    matches12 = jnp.where(ok, best, -1)
+    return _resolve_conflicts(matches12, d1, desc2.shape[0])
+
+
+# -- Frame-level wrappers ---------------------------------------------------
+
+
+def _nodes(f):
+    return None if f.feat_nodes is None else jnp.asarray(f.feat_nodes)
+
+
+def match_by_bow(f1, f2, nnratio: float = 0.9):
+    """BoW-guided matching between two Frames -> (N1,) matches12."""
+    return np.asarray(_match_by_bow_core(
+        jnp.asarray(f1.desc), _nodes(f1), jnp.asarray(f1.valid),
+        jnp.asarray(f1.angle),
+        jnp.asarray(f2.desc), _nodes(f2), jnp.asarray(f2.valid),
+        jnp.asarray(f2.angle),
+        jnp.float32(nnratio),
+    ))
+
+
+def match_epipolar(f1, f2, F12, scale_factor: float = 1.2):
+    """Epipolar-gated matching (undistorted coords) -> (N1,) matches12."""
+    n_oct = int(max(f1.octave.max(), f2.octave.max())) + 1
+    sigma2 = jnp.asarray(
+        (scale_factor ** np.arange(max(n_oct, 8))) ** 2, jnp.float32
+    )
+    return np.asarray(_match_epipolar_core(
+        jnp.asarray(f1.desc), _nodes(f1), jnp.asarray(f1.valid),
+        jnp.asarray(f1.angle), jnp.asarray(f1.xu, jnp.float32),
+        jnp.asarray(f1.yu, jnp.float32), jnp.asarray(f1.octave),
+        jnp.asarray(f2.desc), _nodes(f2), jnp.asarray(f2.valid),
+        jnp.asarray(f2.angle), jnp.asarray(f2.xu, jnp.float32),
+        jnp.asarray(f2.yu, jnp.float32),
+        jnp.asarray(F12, jnp.float32), sigma2,
+    ))
+
+
+def match_locally(f1, f2, guess_xy=None, radius: float = 100.0,
+                  nnratio: float = 0.9):
+    """Window search around guess positions (defaults to f1's own
+    keypoints — the motion-free guess of `findCurr2PrevLocalMatches`,
+    src/ViewGraph.cpp:574-596) -> (N1,) matches12."""
+    if guess_xy is None:
+        gx, gy = f1.xu, f1.yu
+    else:
+        gx, gy = guess_xy
+    return np.asarray(_match_locally_core(
+        jnp.asarray(f1.desc), jnp.asarray(f1.valid), jnp.asarray(f1.octave),
+        jnp.asarray(gx, jnp.float32), jnp.asarray(gy, jnp.float32),
+        jnp.asarray(f2.desc), jnp.asarray(f2.valid), jnp.asarray(f2.octave),
+        jnp.asarray(f2.xu, jnp.float32), jnp.asarray(f2.yu, jnp.float32),
+        jnp.float32(radius), jnp.float32(nnratio),
+    ))
+
+
+def matches_to_pairs(matches12) -> np.ndarray:
+    """(N1,) assignment vector -> (M, 2) index pairs."""
+    m = np.asarray(matches12)
+    i = np.where(m >= 0)[0]
+    return np.stack([i, m[i]], axis=1).astype(np.int32)

@@ -1,0 +1,140 @@
+"""Two-view geometry tests on synthetic 3D scenes with known motion."""
+
+import dataclasses
+
+import cv2
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as Rsc
+
+from irotavg_tpu import so3
+from irotavg_tpu.frontend.camera import Camera
+from irotavg_tpu.geometry import find_relative_pose, refine_pose
+
+CAM = Camera(fx=500.0, fy=500.0, cx=320.0, cy=240.0, width=640, height=480)
+
+
+def _synth_views(n=300, rot_deg=8.0, noise_px=0.5, outlier_frac=0.0, seed=0):
+    """3D points seen from two cameras; returns pixel correspondences + GT."""
+    rng = np.random.default_rng(seed)
+    X = rng.uniform([-4, -3, 4], [4, 3, 12], (n, 3))
+    R = Rsc.from_rotvec(np.deg2rad(rot_deg) * np.array([0.3, 0.9, 0.1]))
+    t = np.array([0.5, -0.1, 0.2])
+    t = t / np.linalg.norm(t)
+
+    def proj(P):
+        return (
+            CAM.fx * P[:, 0] / P[:, 2] + CAM.cx,
+            CAM.fy * P[:, 1] / P[:, 2] + CAM.cy,
+        )
+
+    x1, y1 = proj(X)
+    X2 = X @ R.as_matrix().T + t
+    x2, y2 = proj(X2)
+    x1 = x1 + rng.normal(0, noise_px, n)
+    y1 = y1 + rng.normal(0, noise_px, n)
+    x2 = x2 + rng.normal(0, noise_px, n)
+    y2 = y2 + rng.normal(0, noise_px, n)
+    n_out = int(outlier_frac * n)
+    out_idx = rng.choice(n, n_out, replace=False)
+    x2[out_idx] = rng.uniform(0, 640, n_out)
+    y2[out_idx] = rng.uniform(0, 480, n_out)
+    inlier_gt = np.ones(n, bool)
+    inlier_gt[out_idx] = False
+    return (x1, y1), (x2, y2), R.as_matrix(), t, inlier_gt
+
+
+@dataclasses.dataclass
+class FakeFrame:
+    xu: np.ndarray
+    yu: np.ndarray
+    desc: np.ndarray
+    valid: np.ndarray
+    angle: np.ndarray
+    octave: np.ndarray
+    feat_nodes = None
+
+
+def _frames(pts1, pts2, seed=0):
+    n = len(pts1[0])
+    rng = np.random.default_rng(seed)
+    # distinctive descriptors: same words for true correspondences
+    desc = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    f1 = FakeFrame(
+        xu=pts1[0], yu=pts1[1], desc=desc, valid=np.ones(n, bool),
+        angle=np.zeros(n, np.float32), octave=np.zeros(n, np.int32),
+    )
+    f2 = FakeFrame(
+        xu=pts2[0], yu=pts2[1], desc=desc.copy(), valid=np.ones(n, bool),
+        angle=np.zeros(n, np.float32), octave=np.zeros(n, np.int32),
+    )
+    return f1, f2
+
+
+def _rot_err_deg(Ra, Rb):
+    q1 = np.asarray(so3.rotmat_to_quat(Ra))
+    q2 = np.asarray(so3.rotmat_to_quat(Rb))
+    return np.degrees(float(so3.qgeodesic(q1, q2)))
+
+
+def test_recovers_known_motion_clean():
+    pts1, pts2, R_gt, t_gt, _ = _synth_views()
+    f1, f2 = _frames(pts1, pts2)
+    pairs = np.stack([np.arange(300)] * 2, axis=1).astype(np.int32)
+    rel = find_relative_pose(f1, f2, pairs, CAM)
+    assert rel is not None
+    assert rel.n_cheirality > 250
+    assert _rot_err_deg(rel.R, R_gt) < 0.5
+    cos = abs(np.dot(rel.t, t_gt))
+    assert cos > 0.995, f"translation direction cos {cos:.4f}"
+
+
+@pytest.mark.parametrize("outlier_frac", [0.2, 0.4])
+def test_ransac_rejects_outliers(outlier_frac):
+    pts1, pts2, R_gt, t_gt, inl_gt = _synth_views(
+        outlier_frac=outlier_frac, seed=3
+    )
+    f1, f2 = _frames(pts1, pts2)
+    pairs = np.stack([np.arange(300)] * 2, axis=1).astype(np.int32)
+    rel = find_relative_pose(f1, f2, pairs, CAM)
+    assert rel is not None
+    assert _rot_err_deg(rel.R, R_gt) < 1.0
+    # outliers must be excluded from the final inlier set
+    fp = rel.inlier_mask & ~inl_gt
+    assert fp.sum() <= 3, f"{fp.sum()} outliers accepted"
+
+
+def test_matches_cv2_estimate():
+    pts1, pts2, R_gt, _, _ = _synth_views(noise_px=0.8, outlier_frac=0.15,
+                                          seed=7)
+    f1, f2 = _frames(pts1, pts2)
+    pairs = np.stack([np.arange(300)] * 2, axis=1).astype(np.int32)
+    rel = find_relative_pose(f1, f2, pairs, CAM)
+
+    p1 = np.stack(pts1, 1)
+    p2 = np.stack(pts2, 1)
+    E, mask = cv2.findEssentialMat(
+        p1, p2, CAM.fx, (CAM.cx, CAM.cy), cv2.RANSAC, 0.999, 1.0
+    )
+    _, R_cv, t_cv, _ = cv2.recoverPose(
+        E, p1, p2, focal=CAM.fx, pp=(CAM.cx, CAM.cy), mask=mask
+    )
+    assert _rot_err_deg(rel.R, R_cv) < 0.5
+    assert _rot_err_deg(rel.R, R_gt) < 1.0
+
+
+def test_degenerate_input_returns_none():
+    f1, f2 = _frames((np.zeros(3), np.zeros(3)), (np.zeros(3), np.zeros(3)))
+    pairs = np.stack([np.arange(3)] * 2, axis=1).astype(np.int32)
+    assert find_relative_pose(f1, f2, pairs, CAM) is None
+
+
+def test_refine_pose_grows_support():
+    pts1, pts2, R_gt, _, _ = _synth_views(n=400, noise_px=0.4, seed=11)
+    f1, f2 = _frames(pts1, pts2, seed=11)
+    # start from a subset of the matches; refinement should rematch more
+    pairs0 = np.stack([np.arange(150)] * 2, axis=1).astype(np.int32)
+    rel0 = find_relative_pose(f1, f2, pairs0, CAM)
+    rel, pairs = refine_pose(f1, f2, rel0, pairs0, CAM, min_matches=100)
+    assert len(pairs) >= rel0.inlier_mask.sum()
+    assert _rot_err_deg(rel.R, R_gt) < 0.5
