@@ -1,0 +1,314 @@
+"""Hierarchical binary-descriptor vocabulary (DBoW2-compatible).
+
+Array layout replaces the reference's pointer tree
+(TemplatedVocabulary.h:297-428): ``children (n_nodes, k)`` int32 (-1 pad),
+``node_desc (n_nodes, 8)`` uint32, ``weight``, ``word_id``, ``is_leaf``.
+The runtime transform is a batched level-synchronous descent: at each of
+the L levels every descriptor gathers its current node's k child
+descriptors and takes the Hamming argmin (ties -> first child, matching
+the reference's scan order, TemplatedVocabulary.h:1236-1247).
+
+Text (de)serialisation is byte-compatible with ORB-SLAM vocabularies
+(`loadFromTextFile`/`saveToTextFile`, TemplatedVocabulary.h:1337-1461):
+header ``k L scoring weighting``; one node per line ``parent is_leaf
+d0..d31 weight``; word ids assigned in file order of leaves.
+
+Training (`train_vocabulary`) reimplements the capability of
+`create`/`HKmeansStep` (TemplatedVocabulary.h:557-915): kmeans++ seeding,
+Hamming assignment, bit-majority means, recursive splitting, TF-IDF
+weights from the training images.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from irotavg_tpu.ops.hamming import hamming_matrix
+
+SCORING_NAMES = ["L1", "L2", "CHI_SQUARE", "KL", "BHATTACHARYYA", "DOT_PRODUCT"]
+WEIGHTING_NAMES = ["TF_IDF", "TF", "IDF", "BINARY"]
+
+
+def _desc_to_words(desc_bytes: np.ndarray) -> np.ndarray:
+    """(N, 32) uint8 -> (N, 8) uint32 little-endian words."""
+    return desc_bytes.reshape(-1, 8, 4).astype(np.uint32) @ (
+        256 ** np.arange(4, dtype=np.uint32)
+    )
+
+
+def _words_to_bytes(words: np.ndarray) -> np.ndarray:
+    """(N, 8) uint32 -> (N, 32) uint8."""
+    out = np.zeros((len(words), 32), np.uint8)
+    for w in range(8):
+        for b in range(4):
+            out[:, 4 * w + b] = (words[:, w] >> (8 * b)) & 0xFF
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("n_levels", "nid_level"))
+def _descend(desc, valid, children, node_desc, is_leaf, n_levels, nid_level):
+    """Batched greedy descent.  Returns (leaf_node (N,), nid_node (N,))."""
+    n = desc.shape[0]
+    cur = jnp.zeros((n,), jnp.int32)
+    nid = jnp.zeros((n,), jnp.int32)
+    for level in range(1, n_levels + 1):
+        ch = children[cur]                      # (N, k)
+        has_child = ch >= 0
+        ch_safe = jnp.maximum(ch, 0)
+        cd = node_desc[ch_safe]                 # (N, k, 8)
+        x = jnp.bitwise_xor(cd, desc[:, None, :])
+        xx = x
+        # popcount (SWAR)
+        xx = xx - ((xx >> 1) & 0x55555555)
+        xx = (xx & 0x33333333) + ((xx >> 2) & 0x33333333)
+        xx = (xx + (xx >> 4)) & 0x0F0F0F0F
+        d = jnp.sum((xx * 0x01010101) >> 24, axis=-1).astype(jnp.int32)
+        d = jnp.where(has_child, d, 1 << 20)
+        best = jnp.argmin(d, axis=1)            # first min: reference order
+        nxt = jnp.take_along_axis(ch_safe, best[:, None], axis=1)[:, 0]
+        stop = ~has_child[:, 0]                 # current node is a leaf
+        cur = jnp.where(stop, cur, nxt)
+        if level == nid_level:
+            nid = cur
+    cur = jnp.where(valid, cur, -1)
+    nid = jnp.where(valid, nid, -1)
+    return cur, nid
+
+
+class Vocabulary:
+    """Flat-array vocabulary with batched transform and DBoW2 text IO."""
+
+    def __init__(self, k, L, children, node_desc, weight, word_id, is_leaf,
+                 scoring="L1", weighting="TF_IDF"):
+        self.k = int(k)
+        self.L = int(L)
+        self.children = np.asarray(children, np.int32)
+        self.node_desc = np.asarray(node_desc, np.uint32)
+        self.weight = np.asarray(weight, np.float64)
+        self.word_id = np.asarray(word_id, np.int32)
+        self.is_leaf = np.asarray(is_leaf, bool)
+        self.scoring = scoring
+        self.weighting = weighting
+        self.n_words = int(self.is_leaf.sum())
+        self._children_j = jnp.asarray(self.children)
+        self._node_desc_j = jnp.asarray(self.node_desc)
+        self._is_leaf_j = jnp.asarray(self.is_leaf)
+
+    # -- runtime ------------------------------------------------------------
+
+    def transform(self, desc, valid=None, levelsup: int = 4):
+        """(N, 8) uint32 descriptors -> (bow, feat_nodes).
+
+        bow: dict word_id -> weight, L1-normalised (TF-IDF x L1 scorer,
+        the ORB-SLAM configuration).  feat_nodes: (N,) int32 node id at
+        level L-levelsup (the FeatureVector grouping), -1 for invalid.
+        """
+        desc = jnp.asarray(desc)
+        n = desc.shape[0]
+        if valid is None:
+            valid = jnp.ones((n,), bool)
+        else:
+            valid = jnp.asarray(valid)
+        nid_level = max(self.L - levelsup, 0)
+        leaf, nid = _descend(
+            desc, valid, self._children_j, self._node_desc_j,
+            self._is_leaf_j, self.L, nid_level,
+        )
+        leaf = np.asarray(leaf)
+        nid = np.asarray(nid)
+
+        bow: dict[int, float] = {}
+        ok = leaf >= 0
+        wids = self.word_id[leaf[ok]]
+        ws = self.weight[leaf[ok]]
+        for wid, w in zip(wids, ws):
+            if w > 0:
+                bow[int(wid)] = bow.get(int(wid), 0.0) + float(w)
+        total = sum(bow.values())
+        if total > 0:
+            bow = {k_: v / total for k_, v in bow.items()}
+        # stopped words (weight 0) get no feature-vector entry either
+        stopped = np.zeros(len(leaf), bool)
+        stopped[ok] = self.weight[leaf[ok]] <= 0
+        nid = np.where(stopped, -1, nid)
+        return bow, nid.astype(np.int32)
+
+    # -- text IO (ORB-SLAM format) -----------------------------------------
+
+    @classmethod
+    def load_text(cls, path: str) -> "Vocabulary":
+        with open(path) as fh:
+            header = fh.readline().split()
+            k, L, n1, n2 = (int(v) for v in header[:4])
+            parents, leaf_flags, descs, weights = [], [], [], []
+            for line in fh:
+                parts = line.split()
+                if len(parts) < 35:
+                    continue
+                parents.append(int(parts[0]))
+                leaf_flags.append(int(parts[1]) > 0)
+                descs.append([int(v) for v in parts[2:34]])
+                weights.append(float(parts[34]))
+
+        n_nodes = len(parents) + 1  # + root
+        children = np.full((n_nodes, k), -1, np.int32)
+        ccount = np.zeros(n_nodes, np.int32)
+        node_desc = np.zeros((n_nodes, 8), np.uint32)
+        weight = np.zeros(n_nodes, np.float64)
+        is_leaf = np.zeros(n_nodes, bool)
+        word_id = np.full(n_nodes, -1, np.int32)
+
+        wid = 0
+        byte_rows = np.asarray(descs, np.uint8)
+        word_rows = _desc_to_words(byte_rows)
+        for i in range(1, n_nodes):
+            p = parents[i - 1]
+            children[p, ccount[p]] = i
+            ccount[p] += 1
+            node_desc[i] = word_rows[i - 1]
+            weight[i] = weights[i - 1]
+            if leaf_flags[i - 1]:
+                is_leaf[i] = True
+                word_id[i] = wid
+                wid += 1
+        return cls(k, L, children, node_desc, weight, word_id, is_leaf,
+                   scoring=SCORING_NAMES[n1], weighting=WEIGHTING_NAMES[n2])
+
+    def save_text(self, path: str) -> None:
+        n1 = SCORING_NAMES.index(self.scoring)
+        n2 = WEIGHTING_NAMES.index(self.weighting)
+        parent = np.zeros(len(self.children), np.int32)
+        for p, ch in enumerate(self.children):
+            for c in ch:
+                if c >= 0:
+                    parent[c] = p
+        all_bytes = _words_to_bytes(self.node_desc)
+        with open(path, "w") as fh:
+            fh.write(f"{self.k} {self.L} {n1} {n2}\n")
+            for i in range(1, len(self.children)):
+                db = " ".join(str(int(v)) for v in all_bytes[i])
+                fh.write(
+                    f"{parent[i]} {1 if self.is_leaf[i] else 0} {db} "
+                    f"{self.weight[i]:.6g}\n"
+                )
+
+
+# -- training ---------------------------------------------------------------
+
+
+def _bit_majority(words: np.ndarray) -> np.ndarray:
+    """FORB::meanValue: per-bit majority vote (ties -> 0, like the
+    reference's strict > half comparison, FORB.cpp:63-69)."""
+    bits = np.unpackbits(
+        _words_to_bytes(words), axis=1, bitorder="little"
+    )
+    maj = bits.sum(axis=0) * 2 > len(words)
+    by = np.packbits(maj, bitorder="little").reshape(1, 32)
+    return _desc_to_words(by)[0]
+
+
+def _hamming_np(a, b):
+    x = _words_to_bytes(np.atleast_2d(a))[:, None, :] ^ _words_to_bytes(
+        np.atleast_2d(b)
+    )[None, :, :]
+    return np.unpackbits(x, axis=-1).sum(axis=-1)
+
+
+def _kmeans_binary(words, k, rng, iters=10):
+    """kmeans++ seeding + Lloyd iterations with bit-majority means."""
+    n = len(words)
+    if n <= k:
+        return words.copy(), np.arange(n) % max(len(words), 1)
+    centers = [words[rng.integers(n)]]
+    d = _hamming_np(words, centers[-1][None])[:, 0].astype(np.float64)
+    for _ in range(1, k):
+        p = d * d
+        if p.sum() <= 0:
+            centers.append(words[rng.integers(n)])
+            continue
+        centers.append(words[rng.choice(n, p=p / p.sum())])
+        d = np.minimum(d, _hamming_np(words, centers[-1][None])[:, 0])
+    C = np.stack(centers)
+    assign = None
+    for _ in range(iters):
+        D = _hamming_np(words, C)
+        new_assign = D.argmin(axis=1)
+        if assign is not None and (new_assign == assign).all():
+            break
+        assign = new_assign
+        for j in range(k):
+            sel = words[assign == j]
+            if len(sel):
+                C[j] = _bit_majority(sel)
+    return C, assign
+
+
+def train_vocabulary(images_desc, k: int = 10, L: int = 3, seed: int = 0,
+                     weighting: str = "TF_IDF",
+                     scoring: str = "L1") -> Vocabulary:
+    """Train from a list of per-image (Ni, 8) uint32 descriptor arrays."""
+    rng = np.random.default_rng(seed)
+    all_words = np.concatenate([np.asarray(d, np.uint32) for d in images_desc])
+
+    children_rows = [[]]  # per node
+    node_desc = [np.zeros(8, np.uint32)]
+    is_leaf = [False]
+    levels = [0]
+
+    def split(node, words, level):
+        if level == L or len(words) == 0:
+            is_leaf[node] = True
+            return
+        C, assign = _kmeans_binary(words, k, rng)
+        for j in range(len(C)):
+            cid = len(node_desc)
+            children_rows[node].append(cid)
+            children_rows.append([])
+            node_desc.append(C[j])
+            is_leaf.append(False)
+            levels.append(level + 1)
+            split(cid, words[assign == j], level + 1)
+
+    split(0, all_words, 0)
+
+    n_nodes = len(node_desc)
+    children = np.full((n_nodes, k), -1, np.int32)
+    for i, row in enumerate(children_rows):
+        children[i, : len(row)] = row
+    is_leaf = np.asarray(is_leaf)
+    # any node without children is a leaf (incomplete branches)
+    is_leaf |= (children < 0).all(axis=1)
+    word_id = np.full(n_nodes, -1, np.int32)
+    word_id[is_leaf] = np.arange(is_leaf.sum())
+
+    vocab = Vocabulary(
+        k, L, children, np.stack(node_desc), np.zeros(n_nodes), word_id,
+        is_leaf, scoring=scoring, weighting=weighting,
+    )
+
+    # IDF weights: log(N_images / N_images_containing_word)
+    # (TemplatedVocabulary::setNodeWeights, :962-1000)
+    n_im = len(images_desc)
+    counts = np.zeros(vocab.n_words, np.int64)
+    for d in images_desc:
+        leaf, _ = _descend(
+            jnp.asarray(np.asarray(d, np.uint32)),
+            jnp.ones((len(d),), bool),
+            vocab._children_j, vocab._node_desc_j, vocab._is_leaf_j,
+            vocab.L, 0,
+        )
+        wids = vocab.word_id[np.asarray(leaf)]
+        counts[np.unique(wids[wids >= 0])] += 1
+    if weighting in ("TF_IDF", "IDF"):
+        w = np.zeros(vocab.n_words)
+        nz = counts > 0
+        w[nz] = np.log(n_im / counts[nz])
+    else:
+        w = np.ones(vocab.n_words)
+    leaf_nodes = np.where(vocab.is_leaf)[0]
+    vocab.weight[leaf_nodes] = w[vocab.word_id[leaf_nodes]]
+    return vocab
