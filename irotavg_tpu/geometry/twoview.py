@@ -106,12 +106,14 @@ def refine_pose(f1, f2, rel: RelativePose, pairs, camera, *,
                 min_matches: int = 100, max_iters: int = 10,
                 seed: int = 1) -> tuple[RelativePose, np.ndarray]:
     """Alternate epipolar-guided rematching and re-estimation
-    (`ViewGraph::refinePose`).  Returns (best_pose, inlier_pairs)."""
+    (`ViewGraph::refinePose`).  ``pairs`` is the current (already
+    inlier-filtered) match set for ``rel``.  Returns (best_pose,
+    inlier_pairs)."""
     K = camera.K
     K_inv = np.linalg.inv(K)
 
     best = rel
-    best_pairs = pairs[rel.inlier_mask] if rel is not None else pairs
+    best_pairs = pairs
     best_inlrs = len(pairs)
 
     for it in range(max_iters):

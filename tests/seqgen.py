@@ -1,0 +1,92 @@
+"""Synthetic image-sequence generator with known camera trajectory.
+
+Renders textured 3-D planes through a moving pinhole camera (projected
+quads via cv2.getPerspectiveTransform), giving real parallax so essential-
+matrix geometry is well-posed.  Ground-truth rotations are returned for
+trajectory-error checks — the stand-in for KITTI in this environment
+(no dataset access; see BASELINE.md config 3).
+"""
+
+import cv2
+import numpy as np
+from scipy.spatial.transform import Rotation as Rsc
+
+
+def _texture(rng, size=400):
+    tex = rng.integers(60, 200, (size, size), np.uint8)
+    tex = cv2.GaussianBlur(tex, (0, 0), 1.2)
+    for _ in range(60):
+        p = rng.integers(10, size - 30, 2)
+        w, h = rng.integers(6, 30, 2)
+        cv2.rectangle(tex, tuple(p), (int(p[0] + w), int(p[1] + h)),
+                      int(rng.integers(0, 255)), -1)
+    for _ in range(40):
+        c = tuple(int(v) for v in rng.integers(15, size - 15, 2))
+        cv2.circle(tex, c, int(rng.integers(3, 12)), int(rng.integers(0, 255)), -1)
+    return tex
+
+
+def make_sequence(n_frames=15, size=(640, 480), fx=500.0, seed=0,
+                  step=0.25, yaw_deg_per_frame=0.8, loop=False):
+    """Returns (frames [uint8 images], K, R_gt (n,3,3) world->cam)."""
+    rng = np.random.default_rng(seed)
+    w, h = size
+    K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]])
+
+    # planes: big background + staggered foreground panels (parallax)
+    planes = []
+    for i, (z, span, cx_off) in enumerate(
+        [(14.0, 16.0, 0.0), (8.0, 3.0, -3.0), (7.0, 2.5, 2.0),
+         (9.0, 3.0, 6.0), (8.5, 2.5, 9.5), (7.5, 2.5, -6.0)]
+    ):
+        tex = _texture(rng)
+        cx = cx_off + (0 if i == 0 else 0.0)
+        corners = np.array([
+            [cx - span / 2, -span / 2.5, z],
+            [cx + span / 2, -span / 2.5, z],
+            [cx + span / 2, span / 2.5, z],
+            [cx - span / 2, span / 2.5, z],
+        ])
+        planes.append((corners, tex, z))
+    planes.sort(key=lambda p: -p[2])  # far to near
+
+    if loop:
+        # out-and-back yaw sweep returning to the start pose
+        yaws = np.concatenate([
+            np.arange(n_frames // 2) * yaw_deg_per_frame,
+            (n_frames // 2 - 1 - np.arange(n_frames - n_frames // 2))
+            * yaw_deg_per_frame,
+        ])
+        xs = np.concatenate([
+            np.arange(n_frames // 2) * step,
+            (n_frames // 2 - 1 - np.arange(n_frames - n_frames // 2)) * step,
+        ])
+    else:
+        yaws = np.arange(n_frames) * yaw_deg_per_frame
+        xs = np.arange(n_frames) * step
+
+    frames, R_gt = [], []
+    for k in range(n_frames):
+        R = Rsc.from_euler("y", yaws[k], degrees=True).as_matrix()
+        C = np.array([xs[k], 0.02 * k if not loop else 0.0, 0.0])
+        t = -R @ C
+        canvas = np.full((h, w), 90, np.uint8)
+        for corners, tex, _ in planes:
+            cam = corners @ R.T + t
+            if (cam[:, 2] <= 0.5).any():
+                continue
+            proj = (cam @ K.T)
+            proj = proj[:, :2] / proj[:, 2:3]
+            src = np.array([[0, 0], [tex.shape[1], 0],
+                            [tex.shape[1], tex.shape[0]], [0, tex.shape[0]]],
+                           np.float32)
+            H = cv2.getPerspectiveTransform(src, proj.astype(np.float32))
+            warped = cv2.warpPerspective(tex, H, (w, h),
+                                         flags=cv2.INTER_LINEAR)
+            mask = cv2.warpPerspective(
+                np.full(tex.shape, 255, np.uint8), H, (w, h)
+            )
+            canvas = np.where(mask > 128, warped, canvas)
+        frames.append(canvas)
+        R_gt.append(R)
+    return frames, K, np.stack(R_gt)
