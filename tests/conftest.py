@@ -26,3 +26,9 @@ import jax  # noqa: E402
 # over the env var, keeping tests on the local CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Warm-start repeated runs (and the CLI subprocess tests) from a shared
+# on-disk XLA compilation cache.
+from irotavg_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
