@@ -58,8 +58,39 @@ class Frame:
 
         self.bow = None          # (word_id -> weight) dict, L1-normalised
         self.feat_nodes = None   # (N,) int32 vocab node id at levelsup
+        self._pm1 = None         # lazy (N, 256) ±1 descriptor expansion
         if vocab is not None:
             self.compute_bow(vocab)
+
+    @classmethod
+    def restore(cls, frame_id: int, camera: Camera, arrays: dict,
+                bow=None, feat_nodes=None) -> "Frame":
+        """Rebuild a Frame from checkpointed arrays without re-extraction.
+
+        ``arrays`` must hold x, y, xu, yu, octave, angle, response, size,
+        desc, valid, cell (the attribute layout documented above).
+        """
+        self = cls.__new__(cls)
+        self.id = frame_id
+        self.camera = camera
+        for name in ("x", "y", "xu", "yu", "octave", "angle", "response",
+                     "size", "desc", "valid", "cell"):
+            setattr(self, name, np.asarray(arrays[name]))
+        self.bow = bow
+        self.feat_nodes = feat_nodes
+        self._pm1 = None
+        return self
+
+    @property
+    def pm1(self):
+        """(N, 256) ±1 bfloat16 descriptor-bit expansion, cached — the
+        MXU-native form of the 256-bit BRIEF descriptor (see
+        ops/match_pallas.py)."""
+        if self._pm1 is None:
+            from irotavg_tpu.ops.match_pallas import unpack_pm1
+
+            self._pm1 = unpack_pm1(self.desc)
+        return self._pm1
 
     @property
     def n_valid(self) -> int:
