@@ -32,21 +32,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from irotavg_tpu.ops.hamming import hamming_matrix
+from irotavg_tpu.ops.match_pallas import (
+    best2, make_colft, make_rowf, unpack_pm1,
+)
 
 TH_LOW = 50          # src/ViewGraph.cpp:33
 HISTO_LENGTH = 30    # src/ViewGraph.cpp:32
 _BIG = 10_000
 
 
-def _best_two(D, mask):
-    """Per-row best/second distances + best index over masked columns."""
-    Dm = jnp.where(mask, D, _BIG)
-    best_idx = jnp.argmin(Dm, axis=1)
-    d1 = jnp.take_along_axis(Dm, best_idx[:, None], axis=1)[:, 0]
-    D2 = Dm.at[jnp.arange(Dm.shape[0]), best_idx].set(_BIG)
-    d2 = jnp.min(D2, axis=1)
-    return d1, d2, best_idx
+def _best_two(bits1, bits2t, rowf, colft, gate):
+    """Per-row best/second distances + best index over gated columns —
+    fused Pallas sweep on TPU, dense jnp on CPU (ops/match_pallas.py).
+    Distances come back as exact integers in f32; downstream logic uses
+    int32 (the conflict-resolution key needs integer arithmetic)."""
+    d1, d2, best_idx = best2(bits1, bits2t, rowf, colft, gate)
+    return (d1.astype(jnp.int32), d2.astype(jnp.int32),
+            best_idx.astype(jnp.int64))
 
 
 def _resolve_conflicts(matches12, dists, n2):
@@ -101,69 +103,54 @@ def rotation_consistency_filter(matches12, angle1_rad, angle2_rad):
     return jnp.where(valid & ok, matches12, -1)
 
 
-def _node_mask(nodes1, nodes2, valid1, valid2):
-    m = valid1[:, None] & valid2[None, :]
-    if nodes1 is not None and nodes2 is not None:
-        m &= nodes1[:, None] == nodes2[None, :]
-    return m
-
-
-@functools.partial(jax.jit, inline=True, static_argnames=("check_orientation",))
-def _match_by_bow_core(desc1, nodes1, valid1, angle1,
-                       desc2, nodes2, valid2, angle2,
-                       nnratio, check_orientation=True):
-    D = hamming_matrix(desc1, desc2)
-    mask = _node_mask(nodes1, nodes2, valid1, valid2)
-    d1, d2, best = _best_two(D, mask)
+@functools.partial(jax.jit, inline=True,
+                   static_argnames=("check_orientation", "has_nodes"))
+def _match_by_bow_core(bits1, nodes1, valid1, angle1,
+                       bits2t, nodes2, valid2, angle2,
+                       nnratio, check_orientation=True, has_nodes=True):
+    rowf = make_rowf(valid1, node=nodes1)
+    colft = make_colft(valid2, node=nodes2)
+    d1, d2, best = _best_two(bits1, bits2t, rowf, colft,
+                             "node" if has_nodes else "none")
     ok = (d1 <= TH_LOW) & (d1.astype(jnp.float32) < nnratio * d2.astype(jnp.float32))
     matches12 = jnp.where(ok, best, -1)
-    matches12 = _resolve_conflicts(matches12, d1, desc2.shape[0])
+    matches12 = _resolve_conflicts(matches12, d1, bits2t.shape[1])
     if check_orientation:
         matches12 = rotation_consistency_filter(matches12, angle1, angle2)
     return matches12
 
 
-@functools.partial(jax.jit, inline=True)
-def _match_epipolar_core(desc1, nodes1, valid1, angle1, x1, y1, oct1,
-                         desc2, nodes2, valid2, angle2, x2, y2,
-                         F12, sigma2_oct):
-    D = hamming_matrix(desc1, desc2)
-    mask = _node_mask(nodes1, nodes2, valid1, valid2)
-
+@functools.partial(jax.jit, inline=True, static_argnames=("has_nodes",))
+def _match_epipolar_core(bits1, nodes1, valid1, angle1, x1, y1, oct1,
+                         bits2t, nodes2, valid2, angle2, x2, y2,
+                         F12, sigma2_oct, has_nodes=True):
     # line of p2 through F12^T, evaluated at p1 (reference arg order)
     a = x2 * F12[0, 0] + y2 * F12[1, 0] + F12[2, 0]
     b = x2 * F12[0, 1] + y2 * F12[1, 1] + F12[2, 1]
     c = x2 * F12[0, 2] + y2 * F12[1, 2] + F12[2, 2]
-    num = a[None, :] * x1[:, None] + b[None, :] * y1[:, None] + c[None, :]
-    den = (a * a + b * b)[None, :]
-    dsq = jnp.where(den > 0, num * num / jnp.maximum(den, 1e-12), jnp.inf)
-    th = 3.84 * sigma2_oct[oct1][:, None]
-    mask &= dsq < th
-
-    d1, _, best = _best_two(D, mask)
+    th = 3.84 * sigma2_oct[oct1]
+    rowf = make_rowf(valid1, node=nodes1, x=x1, y=y1, th=th)
+    colft = make_colft(valid2, node=nodes2, a=a, b=b, c=c)
+    gate = "epipolar" if has_nodes else "epipolar_nonode"
+    d1, _, best = _best_two(bits1, bits2t, rowf, colft, gate)
     matches12 = jnp.where(d1 <= TH_LOW, best, -1)
-    matches12 = _resolve_conflicts(matches12, d1, desc2.shape[0])
+    matches12 = _resolve_conflicts(matches12, d1, bits2t.shape[1])
     return rotation_consistency_filter(matches12, angle1, angle2)
 
 
 @functools.partial(jax.jit, inline=True)
-def _match_locally_core(desc1, valid1, oct1, gx, gy,
-                        desc2, valid2, oct2, x2, y2,
+def _match_locally_core(bits1, valid1, oct1, gx, gy,
+                        bits2t, valid2, oct2, x2, y2,
                         radius, nnratio):
-    D = hamming_matrix(desc1, desc2)
-    mask = valid1[:, None] & valid2[None, :]
     # square search window (the reference's grid query is a box, then
     # per-cell rectangles; Frame::getFeaturesInArea filters |dx|,|dy| <= r)
-    mask &= jnp.abs(x2[None, :] - gx[:, None]) <= radius
-    mask &= jnp.abs(y2[None, :] - gy[:, None]) <= radius
-    lo = jnp.maximum(oct1 - 2, 0)
-    hi = jnp.minimum(oct1 + 2, 7)
-    mask &= (oct2[None, :] >= lo[:, None]) & (oct2[None, :] <= hi[:, None])
-
-    d1, d2, best = _best_two(D, mask)
+    rowf = make_rowf(valid1, x=gx, y=gy, octave=oct1,
+                     th=jnp.full(gx.shape, radius, jnp.float32))
+    colft = make_colft(valid2, x=x2, y=y2, octave=oct2)
+    d1, d2, best = _best_two(bits1, bits2t, rowf, colft, "local")
     ok = (d1 <= TH_LOW) & (d1.astype(jnp.float32) < nnratio * d2.astype(jnp.float32))
     matches12 = jnp.where(ok, best, -1)
-    return _resolve_conflicts(matches12, d1, desc2.shape[0])
+    return _resolve_conflicts(matches12, d1, bits2t.shape[1])
 
 
 # -- Frame-level wrappers ---------------------------------------------------
@@ -173,14 +160,21 @@ def _nodes(f):
     return None if f.feat_nodes is None else jnp.asarray(f.feat_nodes)
 
 
+def _bits(f):
+    """Cached ±1 expansion (Frame.pm1) or a one-off unpack for frame-like
+    test doubles."""
+    pm1 = getattr(f, "pm1", None)
+    return pm1 if pm1 is not None else unpack_pm1(f.desc)
+
+
 def match_by_bow(f1, f2, nnratio: float = 0.9):
     """BoW-guided matching between two Frames -> (N1,) matches12."""
+    n1, n2 = _nodes(f1), _nodes(f2)
     return np.asarray(_match_by_bow_core(
-        jnp.asarray(f1.desc), _nodes(f1), jnp.asarray(f1.valid),
-        jnp.asarray(f1.angle),
-        jnp.asarray(f2.desc), _nodes(f2), jnp.asarray(f2.valid),
-        jnp.asarray(f2.angle),
+        _bits(f1), n1, jnp.asarray(f1.valid), jnp.asarray(f1.angle),
+        _bits(f2).T, n2, jnp.asarray(f2.valid), jnp.asarray(f2.angle),
         jnp.float32(nnratio),
+        has_nodes=n1 is not None and n2 is not None,
     ))
 
 
@@ -190,14 +184,16 @@ def match_epipolar(f1, f2, F12, scale_factor: float = 1.2):
     sigma2 = jnp.asarray(
         (scale_factor ** np.arange(max(n_oct, 8))) ** 2, jnp.float32
     )
+    n1, n2 = _nodes(f1), _nodes(f2)
     return np.asarray(_match_epipolar_core(
-        jnp.asarray(f1.desc), _nodes(f1), jnp.asarray(f1.valid),
+        _bits(f1), n1, jnp.asarray(f1.valid),
         jnp.asarray(f1.angle), jnp.asarray(f1.xu, jnp.float32),
         jnp.asarray(f1.yu, jnp.float32), jnp.asarray(f1.octave),
-        jnp.asarray(f2.desc), _nodes(f2), jnp.asarray(f2.valid),
+        _bits(f2).T, n2, jnp.asarray(f2.valid),
         jnp.asarray(f2.angle), jnp.asarray(f2.xu, jnp.float32),
         jnp.asarray(f2.yu, jnp.float32),
         jnp.asarray(F12, jnp.float32), sigma2,
+        has_nodes=n1 is not None and n2 is not None,
     ))
 
 
@@ -211,9 +207,9 @@ def match_locally(f1, f2, guess_xy=None, radius: float = 100.0,
     else:
         gx, gy = guess_xy
     return np.asarray(_match_locally_core(
-        jnp.asarray(f1.desc), jnp.asarray(f1.valid), jnp.asarray(f1.octave),
+        _bits(f1), jnp.asarray(f1.valid), jnp.asarray(f1.octave),
         jnp.asarray(gx, jnp.float32), jnp.asarray(gy, jnp.float32),
-        jnp.asarray(f2.desc), jnp.asarray(f2.valid), jnp.asarray(f2.octave),
+        _bits(f2).T, jnp.asarray(f2.valid), jnp.asarray(f2.octave),
         jnp.asarray(f2.xu, jnp.float32), jnp.asarray(f2.yu, jnp.float32),
         jnp.float32(radius), jnp.float32(nnratio),
     ))
