@@ -141,40 +141,57 @@ class Vocabulary:
 
     @classmethod
     def load_text(cls, path: str) -> "Vocabulary":
-        with open(path) as fh:
-            header = fh.readline().split()
-            k, L, n1, n2 = (int(v) for v in header[:4])
-            parents, leaf_flags, descs, weights = [], [], [], []
-            for line in fh:
-                parts = line.split()
-                if len(parts) < 35:
-                    continue
-                parents.append(int(parts[0]))
-                leaf_flags.append(int(parts[1]) > 0)
-                descs.append([int(v) for v in parts[2:34]])
-                weights.append(float(parts[34]))
+        """Load a DBoW2 text vocabulary (the ORB-SLAM format;
+        TemplatedVocabulary::loadFromTextFile,
+        third_party/DBoW2/DBoW2/TemplatedVocabulary.h:1337-1424).
 
-        n_nodes = len(parents) + 1  # + root
+        Parses through the native C++ reader when available (~1 s for the
+        145 MB ORB vocabulary vs minutes in Python), falling back to a
+        pure-Python line parser."""
+        from irotavg_tpu import native
+
+        parsed = native.parse_vocab_text(path)
+        if parsed is not None:
+            k, L, n1, n2, parents_a, leaf_a, byte_rows, weights_a = parsed
+        else:
+            with open(path) as fh:
+                header = fh.readline().split()
+                k, L, n1, n2 = (int(v) for v in header[:4])
+                parents, leaf_flags, descs, weights = [], [], [], []
+                for line in fh:
+                    parts = line.split()
+                    if len(parts) < 35:
+                        continue
+                    parents.append(int(parts[0]))
+                    leaf_flags.append(int(parts[1]) > 0)
+                    descs.append([int(v) for v in parts[2:34]])
+                    weights.append(float(parts[34]))
+            parents_a = np.asarray(parents, np.int64)
+            leaf_a = np.asarray(leaf_flags, bool)
+            byte_rows = np.asarray(descs, np.uint8)
+            weights_a = np.asarray(weights, np.float64)
+
+        n_body = len(parents_a)
+        n_nodes = n_body + 1  # + implicit root (node 0)
         children = np.full((n_nodes, k), -1, np.int32)
-        ccount = np.zeros(n_nodes, np.int32)
         node_desc = np.zeros((n_nodes, 8), np.uint32)
         weight = np.zeros(n_nodes, np.float64)
         is_leaf = np.zeros(n_nodes, bool)
         word_id = np.full(n_nodes, -1, np.int32)
 
-        wid = 0
-        byte_rows = np.asarray(descs, np.uint8)
-        word_rows = _desc_to_words(byte_rows)
-        for i in range(1, n_nodes):
-            p = parents[i - 1]
-            children[p, ccount[p]] = i
-            ccount[p] += 1
-            node_desc[i] = word_rows[i - 1]
-            weight[i] = weights[i - 1]
-            if leaf_flags[i - 1]:
-                is_leaf[i] = True
-                word_id[i] = wid
-                wid += 1
+        node_desc[1:] = _desc_to_words(byte_rows)
+        weight[1:] = weights_a
+        is_leaf[1:] = leaf_a
+        # word ids in ascending node order (the file's leaf order)
+        leaf_ids = np.flatnonzero(is_leaf)
+        word_id[leaf_ids] = np.arange(len(leaf_ids), dtype=np.int32)
+        # children slots: file order within each parent group
+        order = np.argsort(parents_a, kind="stable")
+        sp = parents_a[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(sp)) + 1]
+        sizes = np.diff(np.r_[starts, len(order)])
+        rank = np.arange(len(order)) - np.repeat(starts, sizes)
+        children[sp, rank] = order + 1  # body node i is line i-1
         return cls(k, L, children, node_desc, weight, word_id, is_leaf,
                    scoring=SCORING_NAMES[n1], weighting=WEIGHTING_NAMES[n2])
 

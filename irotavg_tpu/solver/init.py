@@ -59,6 +59,14 @@ def init_mst(Q, QQ, edges, f):
     n = Q.shape[0]
     m = edges.shape[0]
 
+    from irotavg_tpu import native
+
+    if native.available():
+        covered = native.spanning_tree_init(edges, QQ, Q, f)
+        if covered < n:
+            raise DisconnectedGraphError(covered, n)
+        return Q
+
     flags = np.zeros(n, bool)
     flags[0] = True
     count = 1
