@@ -29,9 +29,7 @@ from irotavg_tpu.engine.incremental import IncrementalRotAvg
 from irotavg_tpu.geometry.twoview import (
     RelativePose, find_relative_pose, refine_pose,
 )
-from irotavg_tpu.matching.matchers import (
-    match_by_bow, match_locally, matches_to_pairs,
-)
+from irotavg_tpu.matching.matchers import match_by_bow, matches_to_pairs
 from irotavg_tpu.placerec.bow import bow_score
 from irotavg_tpu.placerec.database import ViewDatabase
 
@@ -92,28 +90,35 @@ class ViewGraph:
         """`findInitialPose` (src/ViewGraph.cpp:828-902): local match at
         2*local_rad, update local_rad to the mean match displacement,
         escalate x1.25 (<= 5 retries) until cheirality inliers >
-        2*min_matches."""
-        rad = 2.0 * self.local_rad
-        rel, pairs = None, np.zeros((0, 2), np.int32)
-        for _ in range(6):
-            m12 = match_locally(curr, prev, radius=rad, nnratio=0.9)
-            cp = matches_to_pairs(m12)          # (curr_feat, prev_feat)
-            if len(cp):
-                d = np.hypot(
-                    curr.xu[cp[:, 0]] - prev.xu[cp[:, 1]],
-                    curr.yu[cp[:, 0]] - prev.yu[cp[:, 1]],
-                )
-                self.local_rad = float(d.mean())
-            pairs = cp[:, ::-1].copy()          # -> (prev_feat, curr_feat)
-            if len(pairs) <= 4:
-                self.local_rad = 1.0
-                break
-            rel = find_relative_pose(prev, curr, pairs, self.camera,
-                                     seed=self.num_views)
-            if rel is not None and rel.n_cheirality > 2 * self.min_matches:
-                pairs = pairs[rel.inlier_mask]
-                break
-            rad *= 1.25
+        2*min_matches.  Runs as ONE device program
+        (geometry/fused.py:fused_initial_pose)."""
+        import jax
+        import jax.numpy as jnp
+
+        from irotavg_tpu.geometry.fused import fused_initial_pose
+
+        cam = self.camera
+        camv = jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32)
+        E, R, t, n_che, m12, local_rad, rel_valid, _ = fused_initial_pose(
+            curr.pm1, curr.dev("valid"), curr.dev("octave"),
+            curr.dev("xu"), curr.dev("yu"),
+            prev.pm1.T, prev.dev("valid"), prev.dev("octave"),
+            prev.dev("xu"), prev.dev("yu"),
+            jnp.float32(self.local_rad), camv,
+            jnp.float32(1.0 / cam.fx), jax.random.key(self.num_views),
+            jnp.int32(2 * self.min_matches), jnp.float32(0.9),
+        )
+        self.local_rad = float(local_rad)
+        m12 = np.asarray(m12)
+        rows = np.where(m12 >= 0)[0]
+        pairs = np.stack([m12[rows], rows], axis=1).astype(np.int32)
+        if not bool(rel_valid):
+            return None, pairs
+        rel = RelativePose(
+            R=np.asarray(R, np.float64), t=np.asarray(t, np.float64),
+            E=np.asarray(E, np.float64), n_cheirality=int(n_che),
+            inlier_mask=np.ones(len(pairs), bool),
+        )
         return rel, pairs
 
     # -- frame ingestion -----------------------------------------------------
@@ -148,51 +153,107 @@ class ViewGraph:
         # warm-start the new rotation: R_curr = R_rel @ R_prev
         self.ra.Q[curr_idx] = so3.qmul(rel.q, self.ra.Q[prev_idx])
 
-        # pivot chaining through the window (:1109-1136)
+        # pivot chaining through the window (:1109-1136) — all candidate
+        # older views solve in ONE batched device program; the walk stops
+        # at the first failure like the reference's sequential loop.
         pivot_idx = prev_idx
         n1 = len(self.frames[pivot_idx].valid)
         pivot2curr = np.full(n1, -1, np.int64)
         pivot2curr[pairs[:, 0]] = pairs[:, 1]
 
-        v1 = prev_idx - 1
-        while v1 >= 0 and (curr_idx - v1) <= win_size:
-            got = self._find_pose_via_pivot(
-                v1, curr_idx, pivot_idx, pivot2curr
+        cand_ids = [v1 for v1 in range(prev_idx - 1, -1, -1)
+                    if (curr_idx - v1) <= win_size]
+        if cand_ids:
+            results = self._window_connect_batch(
+                cand_ids, frame, pivot_idx, pivot2curr, pad_k=win_size
             )
-            if got is None:
-                break
-            rel_w, pairs_w = got
-            if len(pairs_w) > 10:
-                rel_w, pairs_w = refine_pose(
-                    self.frames[v1], frame, rel_w, pairs_w, self.camera,
-                    min_matches=self.min_matches,
-                )
-            if len(pairs_w) < self.min_matches:
-                break
-            self.connect(v1, curr_idx, pairs_w, rel_w)
-            v1 -= 1
+            for v1, res in zip(cand_ids, results):
+                if res is None:
+                    break
+                rel_w, pairs_w = res
+                self.connect(v1, curr_idx, pairs_w, rel_w)
         return True
 
-    def _find_pose_via_pivot(self, v1, v2, pivot, pivot2v2):
-        """`findPose` (src/ViewGraph.cpp:786-825): compose stored
-        (v1 -> pivot) matches with the pivot -> v2 map, then RANSAC."""
-        key = (min(v1, pivot), max(v1, pivot))
-        conn = self.connections.get(key)
-        if conn is None:
-            return None
-        p = conn.pairs if key[0] == v1 else conn.pairs[:, ::-1]
-        tgt = pivot2v2[p[:, 1]]
-        ok = tgt >= 0
-        pairs = np.stack([p[ok, 0], tgt[ok]], axis=1).astype(np.int32)
-        if len(pairs) <= 5:
-            return None
-        rel = find_relative_pose(
-            self.frames[v1], self.frames[v2], pairs, self.camera,
-            seed=v1 * 7919 + v2,
+    def _window_connect_batch(self, cand_ids, frame, pivot_idx, pivot2curr,
+                              pad_k=None):
+        """Batched `findPose` + `refinePose` for the window candidates
+        (geometry/fused.py:fused_window_connect).  Returns one entry per
+        candidate: (RelativePose, pairs) or None.  ``pad_k`` pads the
+        batch axis to a fixed size so all window fill levels share ONE
+        compiled executable (padded slots repeat candidate 0, inactive)."""
+        import jax
+        import jax.numpy as jnp
+
+        from irotavg_tpu.geometry.fused import fused_window_connect
+
+        cam = self.camera
+        k_real = len(cand_ids)
+        k = max(pad_k or 0, k_real)
+        cand_pad = cand_ids + [cand_ids[0]] * (k - k_real)
+        caps = {len(self.frames[v].valid) for v in cand_ids}
+        assert len(caps) == 1, f"mixed frame capacities {caps}"
+        n = caps.pop()
+        m12_0 = np.full((k, n), -1, np.int32)
+        active = np.zeros(k, bool)
+        for ki, v1 in enumerate(cand_ids):
+            key = (min(v1, pivot_idx), max(v1, pivot_idx))
+            conn = self.connections.get(key)
+            if conn is None:
+                continue
+            p = conn.pairs if key[0] == v1 else conn.pairs[:, ::-1]
+            tgt = pivot2curr[p[:, 1]]
+            ok = tgt >= 0
+            m12_0[ki, p[ok, 0]] = tgt[ok]
+            active[ki] = ok.sum() > 5
+
+        fr = [self.frames[v] for v in cand_pad]
+        f32 = jnp.float32
+        has_nodes = (frame.feat_nodes is not None
+                     and all(f.feat_nodes is not None for f in fr))
+        zeros = np.zeros((k, n), np.int32)
+        E, R, t, n_che, m12, success = fused_window_connect(
+            jnp.stack([f.pm1 for f in fr]),
+            jnp.asarray(np.stack([f.feat_nodes for f in fr])
+                        if has_nodes else zeros),
+            jnp.asarray(np.stack([f.valid for f in fr])),
+            jnp.asarray(np.stack([f.angle for f in fr]), f32),
+            jnp.asarray(np.stack([f.xu for f in fr]), f32),
+            jnp.asarray(np.stack([f.yu for f in fr]), f32),
+            jnp.asarray(np.stack([f.octave for f in fr])),
+            jnp.asarray(m12_0), jnp.asarray(active),
+            frame.pm1.T,
+            frame.dev("feat_nodes") if has_nodes
+            else jnp.zeros((len(frame.valid),), jnp.int32),
+            frame.dev("valid"), frame.dev("angle"),
+            frame.dev("xu"), frame.dev("yu"),
+            jnp.asarray(np.linalg.inv(cam.K), f32),
+            jnp.asarray((1.2 ** np.arange(8)) ** 2, f32),
+            jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], f32),
+            jnp.float32(1.0 / cam.fx),
+            jax.random.key(self.num_views * 7919 + 17),
+            jnp.int32(self.min_matches),
+            has_nodes=has_nodes,
         )
-        if rel is None:
-            return None
-        return rel, pairs[rel.inlier_mask]
+        success = np.asarray(success)
+        m12 = np.asarray(m12)
+        out = []
+        for ki in range(k_real):
+            if not success[ki]:
+                out.append(None)
+                continue
+            rows = np.where(m12[ki] >= 0)[0]
+            pairs_w = np.stack([rows, m12[ki][rows]], axis=1).astype(
+                np.int32
+            )
+            rel_w = RelativePose(
+                R=np.asarray(R[ki], np.float64),
+                t=np.asarray(t[ki], np.float64),
+                E=np.asarray(E[ki], np.float64),
+                n_cheirality=int(n_che[ki]),
+                inlier_mask=np.ones(len(pairs_w), bool),
+            )
+            out.append((rel_w, pairs_w))
+        return out
 
     # -- loop closure --------------------------------------------------------
 

@@ -92,6 +92,22 @@ class Frame:
             self._pm1 = unpack_pm1(self.desc)
         return self._pm1
 
+    _DEV_F32 = ("xu", "yu", "angle")
+
+    def dev(self, name: str):
+        """Device-resident copy of a feature array, cached per frame —
+        avoids re-uploading the same arrays on every matcher/geometry
+        dispatch (coordinates/angles as float32)."""
+        import jax.numpy as jnp
+
+        cache = self.__dict__.setdefault("_dev", {})
+        if name not in cache:
+            v = getattr(self, name)
+            cache[name] = jnp.asarray(
+                v, jnp.float32 if name in self._DEV_F32 else None
+            )
+        return cache[name]
+
     @property
     def n_valid(self) -> int:
         return int(self.valid.sum())

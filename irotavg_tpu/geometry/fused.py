@@ -1,0 +1,240 @@
+"""Single-dispatch two-view estimation loops.
+
+The reference's `refinePose` (src/ViewGraph.cpp:725-783) and
+`findInitialPose` (:828-902) are host loops alternating matching with
+RANSAC — fine in-process, but each step is a device round-trip here, and
+round-trips dominate end-to-end latency.  These fused versions run the
+whole alternation as one jitted ``lax.while_loop``: match (Pallas/MXU
+kernel) → essential RANSAC → cheirality recovery → accept/stop, with all
+state (E, R, t, match assignment, search radius) living on device.
+
+Assignment-vector convention: matches are carried as ``m12: (N1,) int32``
+(row -> column index or -1), never as dynamic-length pair lists, so every
+shape is static.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from irotavg_tpu.geometry.essential import ransac_essential, recover_pose
+from irotavg_tpu.matching.matchers import (
+    _match_epipolar_core, _match_locally_core,
+)
+
+
+def _norm_coords(x, y, cam):
+    fx, fy, cx, cy = cam
+    return jnp.stack([(x - cx) / fx, (y - cy) / fy], axis=1)
+
+
+def _ransac_from_assignment(m12, x1, y1, x2, y2, cam, th_norm, key,
+                            n_samples):
+    """RANSAC + cheirality over an assignment vector (rows of frame 1 ->
+    columns of frame 2).  Returns (E, R, t, n_che, pose_mask)."""
+    p1 = _norm_coords(x1, y1, cam)
+    j = jnp.clip(m12, 0, None)
+    p2 = _norm_coords(x2[j], y2[j], cam)
+    vmask = m12 >= 0
+    E, inl, _ = ransac_essential(p1, p2, vmask, key, th_norm=th_norm,
+                                 n_samples=n_samples)
+    R, t, n_che, pose_mask = recover_pose(E, p1, p2, inl)
+    return E, R, t, n_che, pose_mask
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("has_nodes", "max_iters", "n_samples"),
+)
+def fused_refine(bits1, nodes1, valid1, angle1, x1, y1, oct1,
+                 bits2t, nodes2, valid2, angle2, x2, y2,
+                 E0, R0, t0, n0, m12_0,
+                 K_inv, sigma2, cam, th_norm, key,
+                 min_pairs, *, has_nodes, max_iters=10, n_samples=1024):
+    """`refinePose` as one device program.
+
+    Loop contract (src/ViewGraph.cpp:725-783): build F from the current E,
+    rematch with the epipolar gate, re-run RANSAC + cheirality, accept
+    while the cheirality-inlier count strictly grows; stop when the
+    rematch is too small (< min_pairs), RANSAC support <= 4, recovery
+    <= 6 inliers, or no improvement.
+
+    Returns (E, R, t, best_n, best_m12, iters).
+    """
+    f32 = jnp.float32
+
+    def cond(st):
+        return (~st[0]) & (st[7] < max_iters)
+
+    def body(st):
+        _, E, R, t, best_n, best_m12, k, it = st
+        F = K_inv.T @ E.astype(f32) @ K_inv
+        m12 = _match_epipolar_core(
+            bits1, nodes1, valid1, angle1, x1, y1, oct1,
+            bits2t, nodes2, valid2, angle2, x2, y2,
+            F, sigma2, has_nodes=has_nodes,
+        ).astype(jnp.int32)
+        count = jnp.sum(m12 >= 0)
+        k, sub = jax.random.split(k)
+        E_new, R_new, t_new, n_new, pose_mask = _ransac_from_assignment(
+            m12, x1, y1, x2, y2, cam, th_norm, sub, n_samples
+        )
+        ok = ((count >= min_pairs) & (count > 4) & (n_new > 6)
+              & (n_new > best_n))
+        E = jnp.where(ok, E_new, E)
+        R = jnp.where(ok, R_new, R)
+        t = jnp.where(ok, t_new, t)
+        best_n = jnp.where(ok, n_new, best_n).astype(jnp.int32)
+        best_m12 = jnp.where(ok, jnp.where(pose_mask, m12, -1), best_m12)
+        return (~ok, E, R, t, best_n, best_m12, k, it + 1)
+
+    st = (jnp.asarray(False), E0.astype(f32), R0.astype(f32),
+          t0.astype(f32), jnp.asarray(n0, jnp.int32),
+          jnp.asarray(m12_0, jnp.int32), key, jnp.asarray(0, jnp.int32))
+    st = jax.lax.while_loop(cond, body, st)
+    return st[1], st[2], st[3], st[4], st[5], st[7]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_trials", "n_samples")
+)
+def fused_initial_pose(bits_c, valid_c, oct_c, x_c, y_c,
+                       bits_pt, valid_p, oct_p, x_p, y_p,
+                       local_rad0, cam, th_norm, key,
+                       min_inliers, nnratio, *, max_trials=6,
+                       n_samples=1024):
+    """`findInitialPose`'s adaptive-radius search as one device program
+    (src/ViewGraph.cpp:828-902).
+
+    Matches current -> previous in a window of the escalating radius
+    (x1.25 per retry), updates ``local_rad`` to the mean match
+    displacement, and accepts once cheirality inliers exceed
+    ``min_inliers`` (the caller passes 2*min_matches).  The returned
+    assignment maps current-frame rows to previous-frame columns; the
+    recovered pose maps previous -> current.
+
+    Returns (E, R, t, n_che, m12, local_rad, rel_valid, accepted).
+    """
+    f32 = jnp.float32
+
+    def cond(st):
+        return (~st[0]) & (st[10] < max_trials)
+
+    def body(st):
+        (_, rad, local_rad, E, R, t, n_che, m12_best, valid_rel, k,
+         trial) = st[:11]
+        m12 = _match_locally_core(
+            bits_c, valid_c, oct_c, x_c, y_c,
+            bits_pt, valid_p, oct_p, x_p, y_p,
+            rad, nnratio,
+        ).astype(jnp.int32)
+        matched = m12 >= 0
+        count = jnp.sum(matched)
+        j = jnp.clip(m12, 0, None)
+        disp = jnp.hypot(x_c - x_p[j], y_c - y_p[j])
+        mean_disp = (jnp.sum(jnp.where(matched, disp, 0.0))
+                     / jnp.maximum(count, 1)).astype(f32)
+        local_rad = jnp.where(count > 0, mean_disp, local_rad)
+
+        too_few = count <= 4
+        local_rad = jnp.where(too_few, 1.0, local_rad)
+
+        # pose: previous -> current, so frame-1 coords come via m12
+        k, sub = jax.random.split(k)
+        p1 = _norm_coords(x_p[j], y_p[j], cam)
+        p2 = _norm_coords(x_c, y_c, cam)
+        vmask = matched
+        E_new, inl, _ = ransac_essential(p1, p2, vmask, sub,
+                                         th_norm=th_norm,
+                                         n_samples=n_samples)
+        R_new, t_new, n_new, pose_mask = recover_pose(E_new, p1, p2, inl)
+        rel_ok = (count > 4) & (n_new > 6)
+        accepted = rel_ok & (n_new > min_inliers)
+
+        keep = ~too_few
+        E = jnp.where(keep, E_new, E)
+        R = jnp.where(keep, R_new, R)
+        t = jnp.where(keep, t_new, t)
+        n_che = jnp.where(keep, n_new, n_che).astype(jnp.int32)
+        m12_best = jnp.where(
+            keep, jnp.where(accepted, jnp.where(pose_mask, m12, -1), m12),
+            m12_best,
+        )
+        # a too-small trial keeps the previous trial's pose (host parity;
+        # unreachable downstream anyway — local_rad=1 fails the keyframe
+        # gate)
+        valid_rel = jnp.where(keep, rel_ok, valid_rel)
+        done = too_few | accepted
+        return (done, rad * 1.25, local_rad, E, R, t, n_che, m12_best,
+                valid_rel, k, trial + 1, accepted & ~too_few)
+
+    n1 = bits_c.shape[0]
+    st = (jnp.asarray(False), jnp.asarray(2.0, f32) * local_rad0,
+          local_rad0.astype(f32), jnp.eye(3, dtype=f32),
+          jnp.eye(3, dtype=f32), jnp.zeros(3, f32),
+          jnp.asarray(0, jnp.int32), jnp.full((n1,), -1, jnp.int32),
+          jnp.asarray(False), key, jnp.asarray(0, jnp.int32),
+          jnp.asarray(False))
+    st = jax.lax.while_loop(cond, body, st)
+    return st[3], st[4], st[5], st[6], st[7], st[2], st[8], st[11]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("has_nodes", "max_iters", "n_samples")
+)
+def fused_window_connect(bits1, nodes1, valid1, angle1, x1, y1, oct1,
+                         m12_0, active,
+                         bits2t, nodes2, valid2, angle2, x2, y2,
+                         K_inv, sigma2, cam, th_norm, key, min_matches,
+                         *, has_nodes, max_iters=10, n_samples=1024):
+    """The window walk's per-older-view RANSAC + refinement, batched.
+
+    `processFrame`'s back-connection loop (src/ViewGraph.cpp:1109-1136)
+    runs `findPose` (pivot-composed matches -> RANSAC) then `refinePose`
+    per older view.  Here every candidate view solves concurrently in one
+    device program (vmap over the leading axis); the caller walks the
+    results in order and stops at the first failure, preserving the
+    reference's early-break semantics.
+
+    Batched inputs (leading axis = candidate older view): the candidate
+    frames' feature arrays, composed assignments ``m12_0`` (candidate row
+    -> current-frame column), and ``active`` (composed pair count > 5).
+    Returns (E, R, t, n_che, m12, success) with leading axis K.
+    """
+
+    def one(bits1k, nodes1k, valid1k, angle1k, x1k, y1k, oct1k,
+            m12k, activek, keyk):
+        E0, R0, t0, n0, pose_mask = _ransac_from_assignment(
+            m12k, x1k, y1k, x2, y2, cam, th_norm, keyk, n_samples
+        )
+        count0 = jnp.sum(m12k >= 0)
+        rel_ok = activek & (count0 > 4) & (n0 > 6)
+        m12f = jnp.where(pose_mask, m12k, -1).astype(jnp.int32)
+        cntf = jnp.sum(m12f >= 0)
+
+        keyk, sub = jax.random.split(keyk)
+        E, R, t, n, m12r, _ = fused_refine(
+            bits1k, nodes1k, valid1k, angle1k, x1k, y1k, oct1k,
+            bits2t, nodes2, valid2, angle2, x2, y2,
+            E0, R0, t0, cntf, m12f,
+            K_inv, sigma2, cam, th_norm, sub,
+            # same rematch-size floor refinePose applies (0.75*min_matches)
+            jnp.ceil(0.75 * min_matches).astype(jnp.int32),
+            has_nodes=has_nodes, max_iters=max_iters, n_samples=n_samples,
+        )
+        do_refine = cntf > 10
+        E = jnp.where(do_refine, E, E0.astype(jnp.float32))
+        R = jnp.where(do_refine, R, R0.astype(jnp.float32))
+        t = jnp.where(do_refine, t, t0.astype(jnp.float32))
+        n = jnp.where(do_refine, n, n0).astype(jnp.int32)
+        m12 = jnp.where(do_refine, m12r, m12f)
+        final_cnt = jnp.sum(m12 >= 0)
+        success = rel_ok & (final_cnt >= min_matches)
+        return E, R, t, n, m12, success
+
+    keys = jax.random.split(key, bits1.shape[0])
+    return jax.vmap(one)(bits1, nodes1, valid1, angle1, x1, y1, oct1,
+                         m12_0, active, keys)

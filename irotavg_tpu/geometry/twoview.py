@@ -17,7 +17,7 @@ import numpy as np
 
 from irotavg_tpu import so3
 from irotavg_tpu.geometry.essential import ransac_essential, recover_pose
-from irotavg_tpu.matching.matchers import match_epipolar, matches_to_pairs
+from irotavg_tpu.matching.matchers import matches_to_pairs
 
 
 @dataclasses.dataclass
@@ -108,29 +108,49 @@ def refine_pose(f1, f2, rel: RelativePose, pairs, camera, *,
     """Alternate epipolar-guided rematching and re-estimation
     (`ViewGraph::refinePose`).  ``pairs`` is the current (already
     inlier-filtered) match set for ``rel``.  Returns (best_pose,
-    inlier_pairs)."""
-    K = camera.K
-    K_inv = np.linalg.inv(K)
+    inlier_pairs).
 
-    best = rel
-    best_pairs = pairs
-    best_inlrs = len(pairs)
+    The whole alternation runs as ONE device program
+    (geometry/fused.py:fused_refine) — the reference's host loop would
+    cost ~20 dispatch round-trips here."""
+    from irotavg_tpu.geometry.fused import fused_refine
+    from irotavg_tpu.matching.matchers import _bits, _dev
 
-    for it in range(max_iters):
-        F = K_inv.T @ best.E @ K_inv
-        m12 = match_epipolar(f1, f2, F)
-        new_pairs = matches_to_pairs(m12)
-        if len(new_pairs) < 0.75 * min_matches:
-            break
-        cand = find_relative_pose(
-            f1, f2, new_pairs, camera, seed=seed + it
+    K_inv = np.linalg.inv(camera.K).astype(np.float32)
+    n1 = len(f1.valid)
+    m12_0 = np.full(n1, -1, np.int32)
+    m12_0[pairs[:, 0]] = pairs[:, 1]
+    n_oct = 8
+    sigma2 = jnp.asarray((1.2 ** np.arange(n_oct)) ** 2, jnp.float32)
+    cam = jnp.asarray(
+        [camera.fx, camera.fy, camera.cx, camera.cy], jnp.float32
+    )
+    has_nodes = f1.feat_nodes is not None and f2.feat_nodes is not None
+    zeros1 = jnp.zeros((n1,), jnp.int32)
+    zeros2 = jnp.zeros((len(f2.valid),), jnp.int32)
+    E, R, t, n, m12, _ = fused_refine(
+        _bits(f1),
+        _dev(f1, "feat_nodes") if has_nodes else zeros1,
+        _dev(f1, "valid"), _dev(f1, "angle"),
+        _dev(f1, "xu"), _dev(f1, "yu"), _dev(f1, "octave"),
+        _bits(f2).T,
+        _dev(f2, "feat_nodes") if has_nodes else zeros2,
+        _dev(f2, "valid"), _dev(f2, "angle"),
+        _dev(f2, "xu"), _dev(f2, "yu"),
+        jnp.asarray(rel.E, jnp.float32), jnp.asarray(rel.R, jnp.float32),
+        jnp.asarray(rel.t, jnp.float32), len(pairs), m12_0,
+        jnp.asarray(K_inv), sigma2, cam,
+        jnp.float32(1.0 / camera.fx), jax.random.key(seed),
+        jnp.int32(int(np.ceil(0.75 * min_matches))),
+        has_nodes=has_nodes, max_iters=max_iters,
+    )
+    n = int(n)
+    if n > len(pairs):
+        best_pairs = matches_to_pairs(np.asarray(m12))
+        best = RelativePose(
+            R=np.asarray(R, np.float64), t=np.asarray(t, np.float64),
+            E=np.asarray(E, np.float64), n_cheirality=n,
+            inlier_mask=np.ones(len(best_pairs), bool),
         )
-        if cand is None:
-            break
-        if cand.n_cheirality > best_inlrs:
-            best_inlrs = cand.n_cheirality
-            best = cand
-            best_pairs = new_pairs[cand.inlier_mask]
-        else:
-            break
-    return best, best_pairs
+        return best, best_pairs
+    return rel, pairs

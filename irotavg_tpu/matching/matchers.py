@@ -167,12 +167,24 @@ def _bits(f):
     return pm1 if pm1 is not None else unpack_pm1(f.desc)
 
 
+def _dev(f, name):
+    """Cached device array (Frame.dev) or a one-off upload for frame-like
+    test doubles."""
+    d = getattr(f, "dev", None)
+    if d is not None:
+        return d(name)
+    v = getattr(f, name)
+    return jnp.asarray(
+        v, jnp.float32 if name in ("xu", "yu", "angle") else None
+    )
+
+
 def match_by_bow(f1, f2, nnratio: float = 0.9):
     """BoW-guided matching between two Frames -> (N1,) matches12."""
     n1, n2 = _nodes(f1), _nodes(f2)
     return np.asarray(_match_by_bow_core(
-        _bits(f1), n1, jnp.asarray(f1.valid), jnp.asarray(f1.angle),
-        _bits(f2).T, n2, jnp.asarray(f2.valid), jnp.asarray(f2.angle),
+        _bits(f1), n1, _dev(f1, "valid"), _dev(f1, "angle"),
+        _bits(f2).T, n2, _dev(f2, "valid"), _dev(f2, "angle"),
         jnp.float32(nnratio),
         has_nodes=n1 is not None and n2 is not None,
     ))
@@ -186,12 +198,11 @@ def match_epipolar(f1, f2, F12, scale_factor: float = 1.2):
     )
     n1, n2 = _nodes(f1), _nodes(f2)
     return np.asarray(_match_epipolar_core(
-        _bits(f1), n1, jnp.asarray(f1.valid),
-        jnp.asarray(f1.angle), jnp.asarray(f1.xu, jnp.float32),
-        jnp.asarray(f1.yu, jnp.float32), jnp.asarray(f1.octave),
-        _bits(f2).T, n2, jnp.asarray(f2.valid),
-        jnp.asarray(f2.angle), jnp.asarray(f2.xu, jnp.float32),
-        jnp.asarray(f2.yu, jnp.float32),
+        _bits(f1), n1, _dev(f1, "valid"),
+        _dev(f1, "angle"), _dev(f1, "xu"),
+        _dev(f1, "yu"), _dev(f1, "octave"),
+        _bits(f2).T, n2, _dev(f2, "valid"),
+        _dev(f2, "angle"), _dev(f2, "xu"), _dev(f2, "yu"),
         jnp.asarray(F12, jnp.float32), sigma2,
         has_nodes=n1 is not None and n2 is not None,
     ))
@@ -207,10 +218,10 @@ def match_locally(f1, f2, guess_xy=None, radius: float = 100.0,
     else:
         gx, gy = guess_xy
     return np.asarray(_match_locally_core(
-        _bits(f1), jnp.asarray(f1.valid), jnp.asarray(f1.octave),
+        _bits(f1), _dev(f1, "valid"), _dev(f1, "octave"),
         jnp.asarray(gx, jnp.float32), jnp.asarray(gy, jnp.float32),
-        _bits(f2).T, jnp.asarray(f2.valid), jnp.asarray(f2.octave),
-        jnp.asarray(f2.xu, jnp.float32), jnp.asarray(f2.yu, jnp.float32),
+        _bits(f2).T, _dev(f2, "valid"), _dev(f2, "octave"),
+        _dev(f2, "xu"), _dev(f2, "yu"),
         jnp.float32(radius), jnp.float32(nnratio),
     ))
 
