@@ -14,4 +14,5 @@ from irotavg_tpu.parallel.sharded import (  # noqa: F401
     shard_graph,
     sharded_irls,
     sharded_irls_step,
+    sharded_ravg_pipeline,
 )

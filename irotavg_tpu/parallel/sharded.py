@@ -234,3 +234,64 @@ def sharded_irls(mesh: Mesh, cfg: IRLSConfig = IRLSConfig()):
         return fn(g.edges, g.QQ, g.edge_mask, weights, g.Q, g.f, g.node_mask)
 
     return solve
+
+
+def sharded_ravg_pipeline(mesh: Mesh, *, l1_iters: int = 5,
+                          cfg: IRLSConfig = IRLSConfig()):
+    """Full distributed batch solve matching the single-device pipeline's
+    contract (robust pre-fit, then the configured cost to convergence).
+
+    The reference runs `l1ra` before `irls` so gross outliers cannot
+    poison the least-squares phase (ral/test.cpp:286-300).  The L1 IRLS
+    fixed point minimises the same objective as the ℓ1 decoder, so the
+    distributed pipeline uses ``Cost.L1`` weights for the warmup — every
+    iteration stays edge-parallel with one ``psum`` per CG matvec, no
+    interior-point inner solves.
+
+    Returns ``solve(g, weights=None) -> (Q, weights, iters, score)``.
+    """
+    spec_e = P(GRAPH_AXIS)
+    spec_r = P()
+    l1_cfg = dataclasses.replace(cfg, cost=Cost.L1, max_iters=l1_iters)
+
+    def _loop(edges, QQ, edge_mask, weights, Q, f, node_mask):
+        def make_phase(phase_cfg):
+            def cond(state):
+                _, _, score, it = state
+                return (score > phase_cfg.change_th) & (it < phase_cfg.max_iters)
+
+            def body(state):
+                Qc, w, _, it = state
+                Q2, w2, score = _irls_step_shard(
+                    edges, QQ, edge_mask, w, Qc, f, node_mask, phase_cfg
+                )
+                return Q2, w2, score, it + 1
+
+            return cond, body
+
+        c1, b1 = make_phase(l1_cfg)
+        init = (Q, weights, jnp.asarray(jnp.inf, Q.dtype),
+                jnp.asarray(0, jnp.int32))
+        Q1, _, _, it1 = jax.lax.while_loop(c1, b1, init)
+
+        c2, b2 = make_phase(cfg)
+        # the robust phase restarts from unit weights (ral/l1_irls.cpp:577)
+        init2 = (Q1, jnp.ones_like(weights), jnp.asarray(jnp.inf, Q.dtype),
+                 jnp.asarray(0, jnp.int32))
+        Q2, w, score, it2 = jax.lax.while_loop(c2, b2, init2)
+        return so3.qnormalize(Q2), w, it1 + it2, score
+
+    fn = shard_map(
+        _loop,
+        mesh=mesh,
+        in_specs=(spec_e, spec_e, spec_e, spec_e, spec_r, spec_r, spec_r),
+        out_specs=(spec_r, spec_e, spec_r, spec_r),
+    )
+
+    @jax.jit
+    def solve(g: RotationGraph, weights=None):
+        if weights is None:
+            weights = jnp.ones((g.m,), g.dtype)
+        return fn(g.edges, g.QQ, g.edge_mask, weights, g.Q, g.f, g.node_mask)
+
+    return solve
