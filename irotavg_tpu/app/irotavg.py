@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(checkpoint.npz in --out_dir) at each save point")
     p.add_argument("--resume", default=None, metavar="SNAPSHOT",
                    help="resume from a checkpoint.npz snapshot")
+    p.add_argument("--plot_matches", default=None, metavar="DIR",
+                   help="save per-keyframe match images (PNG) to DIR — "
+                        "headless equivalent of the reference's GUI "
+                        "windows (src/IRotAvg.cpp:93-107)")
     return p
 
 
@@ -167,7 +171,8 @@ def main(argv=None) -> int:
                     )
                     vg = ViewGraph(camera, min_matches=cfg.vg_min_matches)
                 frame = Frame(frame_id, image, extractor, camera,
-                              vocab=vocab)
+                              vocab=vocab,
+                              keep_image=args.plot_matches is not None)
 
             with timer.stage("frame_processing"):
                 try:
@@ -182,6 +187,20 @@ def main(argv=None) -> int:
                     continue
                 selected_frames.append(count)
                 view_id = vg.num_views - 1
+
+                if args.plot_matches is not None and view_id > 0:
+                    from irotavg_tpu.utils.viz import plot_matches
+
+                    os.makedirs(args.plot_matches, exist_ok=True)
+                    conn = vg.connections.get((view_id - 1, view_id))
+                    if (conn is not None
+                            and vg.frames[view_id - 1].image is not None):
+                        plot_matches(
+                            vg.frames[view_id - 1], vg.frames[view_id],
+                            conn.pairs,
+                            os.path.join(args.plot_matches,
+                                         f"matches_{frame_id:06d}.png"),
+                        )
 
                 loop_new_connections = False
                 if detect_loop_closure:

@@ -339,6 +339,32 @@ class ViewGraph:
     def save_poses(self, path: str) -> None:
         self.ra.save_poses(path)
 
+    def save_view_graph(self, path: str) -> None:
+        """Serialise every connection's relative pose to YAML —
+        `ViewGraph::saveViewGraph` (src/ViewGraph.cpp:1148-1171).
+
+        The reference emits one ``i``/``j``/``R``/``t`` record per edge
+        (i < j) through cv::FileStorage; the same records are written here
+        as a proper YAML sequence under ``edges`` (the reference's repeated
+        top-level keys are not parseable YAML, so the shape is rationalised
+        — content is identical: frame ids, 3x3 R, 3-vector t).
+        """
+        lines = ["%YAML:1.0", "---", "edges:"]
+        for (i, j), conn in sorted(self.connections.items()):
+            R = np.asarray(conn.pose.R, np.float64).reshape(3, 3)
+            t = np.asarray(conn.pose.t, np.float64).reshape(3)
+            fi = self.frames[i].id
+            fj = self.frames[j].id
+            rdata = ", ".join(f"{v:.17e}" for v in R.ravel())
+            tdata = ", ".join(f"{v:.17e}" for v in t)
+            lines += [
+                f"  - {{ i: {fi}, j: {fj},",
+                f"      R: [ {rdata} ],",
+                f"      t: [ {tdata} ] }}",
+            ]
+        with open(path, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
     def save_pose_ids(self, path: str, frame_ids=None) -> None:
         """1-based original frame ids of accepted keyframes
         (src/IRotAvg.cpp:111-128)."""

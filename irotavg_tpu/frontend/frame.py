@@ -35,8 +35,12 @@ class Frame:
     """
 
     def __init__(self, frame_id: int, image, extractor, camera: Camera,
-                 vocab=None):
+                 vocab=None, keep_image: bool = False):
         self.id = frame_id
+        # The reference Frame retains the image (Frame::getImage,
+        # src/Frame.cpp:141-160) for the GUI match plots; here retention is
+        # opt-in (utils/viz.plot_matches) to keep memory flat.
+        self.image = np.asarray(image) if keep_image else None
         out = extractor(image)
         self.x = np.asarray(out["x0"])
         self.y = np.asarray(out["y0"])
@@ -73,6 +77,7 @@ class Frame:
         self = cls.__new__(cls)
         self.id = frame_id
         self.camera = camera
+        self.image = None
         for name in ("x", "y", "xu", "yu", "octave", "angle", "response",
                      "size", "desc", "valid", "cell"):
             setattr(self, name, np.asarray(arrays[name]))

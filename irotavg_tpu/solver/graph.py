@@ -135,6 +135,22 @@ def incidence_rmatvec(edges, e, free_mask, edge_mask, n):
     return jnp.where(free_mask[:, None], out, 0.0)
 
 
+def incidence_fixed_matvec(edges, x_nodes, free_mask, edge_mask):
+    """``C @ x``: the incidence action over the *fixed* block — per edge,
+    ``x[j]·[j fixed] − x[i]·[i fixed]``.
+
+    Complement of :func:`incidence_matvec`, so that for any node field x
+    ``A@x_free + C@x_fixed == x[j] − x[i]`` on real edges.  Parity with the
+    reference's `make_C` (ral/l1_irls.cpp:783-806 — built but never called
+    there; provided here because the full-node-space formulation makes it
+    one line and it is useful for moving known rotations to the RHS when
+    solving shard subproblems).
+    """
+    x = jnp.where(free_mask[:, None], 0.0, x_nodes)
+    out = x[edges[:, 1]] - x[edges[:, 0]]
+    return jnp.where(edge_mask[:, None], out, 0.0)
+
+
 def laplacian_diag(edges, coef, free_mask, edge_mask, n):
     """Diagonal of ``A.T diag(coef) A`` in full node space (Jacobi precond)."""
     c = jnp.where(edge_mask, coef, 0.0)
