@@ -13,6 +13,7 @@ from irotavg_tpu.matching.matchers import (  # noqa: F401
     match_by_bow,
     match_epipolar,
     match_locally,
+    match_sift,
     matches_to_pairs,
     rotation_consistency_filter,
 )

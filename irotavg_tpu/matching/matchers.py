@@ -231,3 +231,38 @@ def matches_to_pairs(matches12) -> np.ndarray:
     m = np.asarray(matches12)
     i = np.where(m >= 0)[0]
     return np.stack([i, m[i]], axis=1).astype(np.int32)
+
+
+@jax.jit
+def _match_sift_core(d1, valid1, d2t, valid2):
+    # OpenCV SIFT descriptors are the L2-normalised vector scaled by 512;
+    # scale here so the reference's absolute threshold keeps its meaning.
+    a = d1 * 512.0
+    b = d2t * 512.0
+    # squared L2 via one MXU matmul: |a|^2 + |b|^2 - 2 a.b
+    dist2 = (
+        jnp.sum(a * a, axis=1)[:, None]
+        + jnp.sum(b * b, axis=0)[None, :]
+        - 2.0 * (a @ b)
+    )
+    gate = valid1[:, None] & valid2[None, :]
+    dist2 = jnp.where(gate, jnp.maximum(dist2, 0.0), jnp.inf)
+    j = jnp.argmin(dist2, axis=1)
+    dmin = jnp.sqrt(jnp.take_along_axis(dist2, j[:, None], axis=1)[:, 0])
+    finite = jnp.isfinite(dmin)
+    global_min = jnp.min(jnp.where(finite, dmin, jnp.inf))
+    # `good` filter of the reference: dist <= max(3*min_dist, 80.0)
+    keep = finite & (dmin <= jnp.maximum(3.0 * global_min, 80.0))
+    return jnp.where(keep, j, -1), dmin
+
+
+def match_sift(f1, f2):
+    """Nearest-neighbour L2 matching of SIFT descriptors with the
+    reference's good-match filter ``d <= max(3*min_d, 80.0)`` —
+    `findSIFTMatches` (src/ViewGraph.cpp:694-722; FLANN there, one exact
+    MXU distance matmul here).  Returns a (N1,) assignment vector."""
+    m12, _ = _match_sift_core(
+        jnp.asarray(f1.desc, jnp.float32), _dev(f1, "valid"),
+        jnp.asarray(f2.desc, jnp.float32).T, _dev(f2, "valid"),
+    )
+    return m12
