@@ -51,16 +51,17 @@ def make_sequence(n_frames=15, size=(640, 480), fx=500.0, seed=0,
     planes.sort(key=lambda p: -p[2])  # far to near
 
     if loop:
-        # out-and-back yaw sweep returning to the start pose
-        yaws = np.concatenate([
-            np.arange(n_frames // 2) * yaw_deg_per_frame,
-            (n_frames // 2 - 1 - np.arange(n_frames - n_frames // 2))
-            * yaw_deg_per_frame,
-        ])
-        xs = np.concatenate([
-            np.arange(n_frames // 2) * step,
-            (n_frames // 2 - 1 - np.arange(n_frames - n_frames // 2)) * step,
-        ])
+        # out-and-back sweep revisiting the start; the return pass is
+        # offset by half a step so no two consecutive poses coincide
+        # (a full stop livelocks the adaptive search radius — in the
+        # reference too: rad = 2*m_local_rad with only x1.25^5 escalation,
+        # src/ViewGraph.cpp:840,893)
+        h1 = n_frames // 2
+        h2 = n_frames - h1
+        fwd = np.arange(h1, dtype=np.float64)
+        back = h1 - 1.5 - np.arange(h2)
+        yaws = np.concatenate([fwd, back]) * yaw_deg_per_frame
+        xs = np.concatenate([fwd, back]) * step
     else:
         yaws = np.arange(n_frames) * yaw_deg_per_frame
         xs = np.arange(n_frames) * step
