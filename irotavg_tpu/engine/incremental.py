@@ -195,11 +195,11 @@ class IncrementalRotAvg:
             m_pad, n_pad, l1_iters, irls_iters, float(sigma),
             float(change_th), cost, self.dtype.name,
         )
-        Q_out, w, iters, score = solve(
+        res = solve(
             jnp.asarray(edges_p), jnp.asarray(QQ_p), jnp.asarray(Q_p),
             jnp.asarray(f, jnp.int32), jnp.asarray(emask), jnp.asarray(nmask),
         )
-        Q_out = np.asarray(Q_out)
+        Q_out, w, iters, score = jax.device_get(res)  # one bundled fetch
 
         self.Q[order[f:]] = Q_out[f:n]
         return {
@@ -210,7 +210,7 @@ class IncrementalRotAvg:
             "n_pad": n_pad,
             "irls_iters": int(iters),
             "score": float(score),
-            "weights": np.asarray(w)[:m],
+            "weights": w[:m],
             "solved_views": order[f:],
         }
 

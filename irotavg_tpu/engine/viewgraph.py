@@ -99,7 +99,7 @@ class ViewGraph:
 
         cam = self.camera
         camv = jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32)
-        E, R, t, n_che, m12, local_rad, rel_valid, _ = fused_initial_pose(
+        out = fused_initial_pose(
             curr.pm1, curr.dev("valid"), curr.dev("octave"),
             curr.dev("xu"), curr.dev("yu"),
             prev.pm1.T, prev.dev("valid"), prev.dev("octave"),
@@ -108,8 +108,10 @@ class ViewGraph:
             jnp.float32(1.0 / cam.fx), jax.random.key(self.num_views),
             jnp.int32(2 * self.min_matches), jnp.float32(0.9),
         )
+        # ONE bundled fetch — per-array downloads cost ~25 ms each through
+        # a tunneled device regardless of size
+        E, R, t, n_che, m12, local_rad, rel_valid, _ = jax.device_get(out)
         self.local_rad = float(local_rad)
-        m12 = np.asarray(m12)
         rows = np.where(m12 >= 0)[0]
         pairs = np.stack([m12[rows], rows], axis=1).astype(np.int32)
         if not bool(rel_valid):
@@ -157,7 +159,7 @@ class ViewGraph:
         # older views solve in ONE batched device program; the walk stops
         # at the first failure like the reference's sequential loop.
         pivot_idx = prev_idx
-        n1 = len(self.frames[pivot_idx].valid)
+        n1 = self.frames[pivot_idx].capacity
         pivot2curr = np.full(n1, -1, np.int64)
         pivot2curr[pairs[:, 0]] = pairs[:, 1]
 
@@ -190,7 +192,7 @@ class ViewGraph:
         k_real = len(cand_ids)
         k = max(pad_k or 0, k_real)
         cand_pad = cand_ids + [cand_ids[0]] * (k - k_real)
-        caps = {len(self.frames[v].valid) for v in cand_ids}
+        caps = {self.frames[v].capacity for v in cand_ids}
         assert len(caps) == 1, f"mixed frame capacities {caps}"
         n = caps.pop()
         m12_0 = np.full((k, n), -1, np.int32)
@@ -210,20 +212,22 @@ class ViewGraph:
         f32 = jnp.float32
         has_nodes = (frame.feat_nodes is not None
                      and all(f.feat_nodes is not None for f in fr))
-        zeros = np.zeros((k, n), np.int32)
-        E, R, t, n_che, m12, success = fused_window_connect(
+        # all stacks happen ON DEVICE from the frames' cached device
+        # arrays — no host round-trips in the hot path
+        zeros = jnp.zeros((k, n), jnp.int32)
+        res = fused_window_connect(
             jnp.stack([f.pm1 for f in fr]),
-            jnp.asarray(np.stack([f.feat_nodes for f in fr])
-                        if has_nodes else zeros),
-            jnp.asarray(np.stack([f.valid for f in fr])),
-            jnp.asarray(np.stack([f.angle for f in fr]), f32),
-            jnp.asarray(np.stack([f.xu for f in fr]), f32),
-            jnp.asarray(np.stack([f.yu for f in fr]), f32),
-            jnp.asarray(np.stack([f.octave for f in fr])),
+            jnp.stack([f.dev("feat_nodes") for f in fr])
+            if has_nodes else zeros,
+            jnp.stack([f.dev("valid") for f in fr]),
+            jnp.stack([f.dev("angle") for f in fr]),
+            jnp.stack([f.dev("xu") for f in fr]),
+            jnp.stack([f.dev("yu") for f in fr]),
+            jnp.stack([f.dev("octave") for f in fr]),
             jnp.asarray(m12_0), jnp.asarray(active),
             frame.pm1.T,
             frame.dev("feat_nodes") if has_nodes
-            else jnp.zeros((len(frame.valid),), jnp.int32),
+            else jnp.zeros((frame.capacity,), jnp.int32),
             frame.dev("valid"), frame.dev("angle"),
             frame.dev("xu"), frame.dev("yu"),
             jnp.asarray(np.linalg.inv(cam.K), f32),
@@ -234,8 +238,7 @@ class ViewGraph:
             jnp.int32(self.min_matches),
             has_nodes=has_nodes,
         )
-        success = np.asarray(success)
-        m12 = np.asarray(m12)
+        E, R, t, n_che, m12, success = jax.device_get(res)
         out = []
         for ki in range(k_real):
             if not success[ki]:

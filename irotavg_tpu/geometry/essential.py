@@ -6,9 +6,27 @@ cv::recoverPose as used by `ViewGraph::findRelativePose`
 distance threshold ``th / focal``, cheirality by triangulated-depth
 counting with a 50-unit distance cutoff.  Deliberate divergence: the
 hypothesis solver is the 8-point algorithm over a fixed batch of S random
-minimal samples (vs OpenCV's adaptive-count Nister 5-point) — on TPU the
-whole hypothesis batch solves as one (S, 9, 9) eigendecomposition, and S
-is sized for inlier ratios well below SLAM operating points.
+minimal samples (vs OpenCV's adaptive-count Nister 5-point) — the whole
+hypothesis batch solves in one device program, and S is sized for inlier
+ratios well below SLAM operating points.
+
+TPU numerics: XLA lowers `eigh`/`svd` to iterative QR programs that are
+expensive at these shapes, so the hot decompositions are closed-form /
+fixed-sweep primitives that lower to elementwise ops and tiny matmuls:
+
+  * symmetric 3x3 eigendecomposition: five unrolled cyclic-Jacobi sweeps
+    (`_sym3x3_jacobi`) — exact to f32 precision in <= 15 rotations;
+  * SVD of E: eigendecomposition of E^T E + back-substituted left vectors
+    (`_svd3x3`) — replaces per-call `svd` in projection and pose recovery;
+  * triangulation: closed-form two-ray depth solve (2x2 normal equations,
+    `_ray_depths`) instead of a per-point 4x4 DLT eigenproblem — this was
+    the dominant cost (a (4, N) batch of eigh per recover_pose);
+  * the ONE iterative op kept is `eigh` on the (S, 9, 9) Gram matrices of
+    the 8-point solve: hypothesis quality at marginal RANSAC support
+    decides edge quality, and fixed-iteration null-vector solvers
+    (inverse/shifted power) lose the null direction on degenerate
+    samples.  Hartley normalisation — applied as an exact congruence on
+    the Gram matrix (`_eight_point`) — buys f32 eigh ~2 extra digits.
 """
 
 from __future__ import annotations
@@ -21,10 +39,96 @@ import jax.numpy as jnp
 DIST_THRESH = 50.0  # cv::recoverPose triangulated-distance cutoff
 
 
-def _eigvec_smallest(M):
-    """Eigenvector of the smallest eigenvalue of symmetric (..., k, k)."""
-    w, v = jnp.linalg.eigh(M)
-    return v[..., :, 0]
+# ---------------------------------------------------------------------------
+# closed-form / fixed-sweep linear algebra
+# ---------------------------------------------------------------------------
+
+
+def _jacobi_rotation(A, V, p: int, q: int):
+    """One batched Jacobi rotation zeroing A[..., p, q] (symmetric A)."""
+    app = A[..., p, p]
+    aqq = A[..., q, q]
+    apq = A[..., p, q]
+    theta = 0.5 * jnp.arctan2(2.0 * apq, app - aqq)
+    c = jnp.cos(theta)[..., None]
+    s = jnp.sin(theta)[..., None]
+    # G = I with G[p,p]=c, G[q,q]=c, G[p,q]=-s, G[q,p]=s ; A <- G^T A G
+    Ap = A[..., :, p]
+    Aq = A[..., :, q]
+    Ap_new = c * Ap + s * Aq
+    Aq_new = -s * Ap + c * Aq
+    A = A.at[..., :, p].set(Ap_new).at[..., :, q].set(Aq_new)
+    Ap = A[..., p, :]
+    Aq = A[..., q, :]
+    Ap_new = c * Ap + s * Aq
+    Aq_new = -s * Ap + c * Aq
+    A = A.at[..., p, :].set(Ap_new).at[..., q, :].set(Aq_new)
+    Vp = V[..., :, p]
+    Vq = V[..., :, q]
+    V = V.at[..., :, p].set(c * Vp + s * Vq)
+    V = V.at[..., :, q].set(-s * Vp + c * Vq)
+    return A, V
+
+
+def _sym3x3_jacobi(S, sweeps: int = 5):
+    """Eigendecomposition of symmetric (..., 3, 3): returns (w, V) with
+    eigenvalues DESCENDING and V's columns the matching eigenvectors."""
+    A = S
+    V = jnp.broadcast_to(jnp.eye(3, dtype=S.dtype), S.shape)
+    for _ in range(sweeps):
+        for p, q in ((0, 1), (0, 2), (1, 2)):
+            A, V = _jacobi_rotation(A, V, p, q)
+    w = jnp.stack([A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]], axis=-1)
+    order = jnp.argsort(-w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    return w, V
+
+
+def _cross(a, b):
+    return jnp.stack(
+        [
+            a[..., 1] * b[..., 2] - a[..., 2] * b[..., 1],
+            a[..., 2] * b[..., 0] - a[..., 0] * b[..., 2],
+            a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0],
+        ],
+        axis=-1,
+    )
+
+
+def _det3x3(M):
+    return jnp.sum(
+        _cross(M[..., :, 0], M[..., :, 1]) * M[..., :, 2], axis=-1
+    )
+
+
+def _svd3x3(E, eps: float = 1e-20):
+    """SVD of (..., 3, 3) via the symmetric eigenproblem of E^T E.
+
+    Returns (U, s, V) with singular values descending, U/V proper for the
+    essential-matrix use cases (the smallest singular vector pair is
+    completed by cross products, so U, V are always orthogonal even when
+    s2 ~ 0 — exactly the degenerate direction essential matrices live in).
+    """
+    hp = jax.lax.Precision.HIGHEST
+    w, V = _sym3x3_jacobi(
+        jnp.einsum("...ji,...jk->...ik", E, E, precision=hp)
+    )
+    s = jnp.sqrt(jnp.clip(w, 0.0))
+    EV = jnp.einsum("...ij,...jk->...ik", E, V, precision=hp)
+    u0 = EV[..., :, 0] / jnp.maximum(s[..., 0:1], eps)
+    u1 = EV[..., :, 1] / jnp.maximum(s[..., 1:2], eps)
+    # orthonormalise u1 against u0 (guards tiny s1), complete with cross
+    u1 = u1 - jnp.sum(u0 * u1, axis=-1, keepdims=True) * u0
+    u1 = u1 / jnp.maximum(
+        jnp.linalg.norm(u1, axis=-1, keepdims=True), eps
+    )
+    u2 = _cross(u0, u1)
+    U = jnp.stack([u0, u1, u2], axis=-1)
+    # keep V's third column consistent: v2 = v0 x v1 (proper rotation-ish)
+    v2 = _cross(V[..., :, 0], V[..., :, 1])
+    V = jnp.concatenate([V[..., :, :2], v2[..., :, None]], axis=-1)
+    return U, s, V
 
 
 @functools.partial(jax.jit, inline=True)
@@ -33,9 +137,12 @@ def sampson_distance(E, p1, p2):
     points; broadcasts E's leading axes -> (..., N)."""
     x1 = jnp.concatenate([p1, jnp.ones_like(p1[:, :1])], axis=1)  # (N, 3)
     x2 = jnp.concatenate([p2, jnp.ones_like(p2[:, :1])], axis=1)
-    Ex1 = jnp.einsum("...ij,nj->...ni", E, x1)
-    Etx2 = jnp.einsum("...ji,nj->...ni", E, x2)
-    num = jnp.einsum("ni,...ni->...n", x2, Ex1) ** 2
+    # full f32 accumulation: TPU matmuls default to bf16 inputs, which is
+    # far too coarse for epipolar residuals compared against (px/f)^2
+    hp = jax.lax.Precision.HIGHEST
+    Ex1 = jnp.einsum("...ij,nj->...ni", E, x1, precision=hp)
+    Etx2 = jnp.einsum("...ji,nj->...ni", E, x2, precision=hp)
+    num = jnp.einsum("ni,...ni->...n", x2, Ex1, precision=hp) ** 2
     den = (
         Ex1[..., :, 0] ** 2 + Ex1[..., :, 1] ** 2
         + Etx2[..., :, 0] ** 2 + Etx2[..., :, 1] ** 2
@@ -43,10 +150,44 @@ def sampson_distance(E, p1, p2):
     return num / jnp.maximum(den, 1e-18)
 
 
+def _hartley_T(sw, sx, sy, sxx, syy, eps=1e-12):
+    """Per-batch Hartley normalisation transform from weighted moments:
+    translate the centroid to the origin, scale RMS radius to sqrt(2)."""
+    w = jnp.maximum(sw, eps)
+    cx = sx / w
+    cy = sy / w
+    var = jnp.maximum((sxx + syy) / w - cx * cx - cy * cy, eps)
+    s = jnp.sqrt(2.0 / var)
+    z = jnp.zeros_like(s)
+    o = jnp.ones_like(s)
+    return jnp.stack(
+        [
+            jnp.stack([s, z, -s * cx], -1),
+            jnp.stack([z, s, -s * cy], -1),
+            jnp.stack([z, z, o], -1),
+        ],
+        axis=-2,
+    )  # (..., 3, 3)
+
+
+def _kron3(T2, T1):
+    """(..., 9, 9) Kronecker product of two (..., 3, 3) blocks."""
+    k = T2[..., :, None, :, None] * T1[..., None, :, None, :]
+    return k.reshape(k.shape[:-4] + (9, 9))
+
+
 def _eight_point(p1, p2, weights):
     """Weighted 8-point solve -> (..., 3, 3) E candidates (unprojected).
 
     p1, p2: (N, 2); weights: (..., N) selecting/weighting rows.
+
+    The row 9-vector is ``x2h (x) x1h``, so Hartley normalisation (the
+    classic conditioning fix for the 8-point system — centroid to origin,
+    RMS radius sqrt(2)) acts on the Gram matrix as an exact congruence
+    ``M AtA M^T`` with ``M = T2 (x) T1``, and the per-sample moments that
+    define T1/T2 are already entries of AtA — no per-sample re-stacking of
+    the design matrix.  Without this, f32 factorisations lose the null
+    direction entirely (minimal-sample Gram matrices reach cond ~ 1e7).
     """
     x1, y1 = p1[:, 0], p1[:, 1]
     x2, y2 = p2[:, 0], p2[:, 1]
@@ -54,40 +195,74 @@ def _eight_point(p1, p2, weights):
     A = jnp.stack(
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=1
     )  # (N, 9)
-    AtA = jnp.einsum("...n,ni,nj->...ij", weights, A, A)
-    e = _eigvec_smallest(AtA)
+    hp = jax.lax.Precision.HIGHEST
+    AtA = jnp.einsum("...n,ni,nj->...ij", weights, A, A, precision=hp)
+
+    # weighted moments live inside AtA (column layout above)
+    sw = AtA[..., 8, 8]
+    T1 = _hartley_T(sw, AtA[..., 8, 6], AtA[..., 8, 7],
+                    AtA[..., 6, 6], AtA[..., 7, 7])
+    T2 = _hartley_T(sw, AtA[..., 2, 8], AtA[..., 5, 8],
+                    AtA[..., 2, 2], AtA[..., 5, 5])
+    M = _kron3(T2, T1)
+    AtA_n = jnp.einsum("...ij,...jk,...lk->...il", M, AtA, M, precision=hp)
+    # smallest eigenvector: XLA's eigh here — the one iterative linalg op
+    # kept, because hypothesis quality at marginal RANSAC support is what
+    # decides edge quality, and fixed-iteration solvers (inverse power,
+    # shifted power) lose the null direction on degenerate samples.
+    # Hartley conditioning above still buys f32 eigh ~2 extra digits.
+    e_n = jnp.linalg.eigh(AtA_n)[1][..., :, 0]
+    # back to unnormalised coordinates: a . e = (M a) . e_n => e = M^T e_n
+    e = jnp.einsum("...ji,...j->...i", M, e_n, precision=hp)
+    e = e / jnp.maximum(
+        jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-30
+    )
     return e.reshape(e.shape[:-1] + (3, 3))
 
 
 def _project_essential(E):
     """Nearest essential matrix: singular values -> (1, 1, 0)."""
-    U, s, Vt = jnp.linalg.svd(E)
-    d = jnp.asarray([1.0, 1.0, 0.0], E.dtype)
-    return U @ (d[..., :, None] * Vt)
+    U, s, Vt = _svd3x3(E)
+    # U diag(1,1,0) V^T = u0 v0^T + u1 v1^T
+    return (
+        U[..., :, 0:1] * Vt[..., :, 0:1].swapaxes(-2, -1)
+        + U[..., :, 1:2] * Vt[..., :, 1:2].swapaxes(-2, -1)
+    )
 
 
 @functools.partial(
     jax.jit, static_argnames=("n_samples",), inline=True
 )
-def ransac_essential(p1, p2, valid, key, *, th_norm, n_samples=1024):
+def ransac_essential(p1, p2, valid, key, *, th_norm, n_samples=1024,
+                     E_seed=None):
     """RANSAC essential matrix from (N, 2) normalised correspondences.
 
     Returns (E (3,3), inlier_mask (N,), n_inliers).  ``th_norm`` is the
     Sampson threshold in normalised coords (pixel_th / focal).
+
+    ``E_seed`` (optional (3, 3)) joins the hypothesis pool as one more
+    candidate — refinement loops pass their current model so a reduced
+    sample budget can never regress below it (the warm-start analogue of
+    OpenCV's adaptive early termination at high inlier ratios).
     """
     n = p1.shape[0]
-    w = valid.astype(p1.dtype)
 
-    # S minimal samples of 8 correspondences (masked categorical draw)
+    # S minimal samples of 8 correspondences (masked categorical draw);
+    # selection weights built by broadcast-compare (gathers/scatters are
+    # slow paths on TPU)
     logits = jnp.where(valid, 0.0, -jnp.inf)
     idx = jax.random.categorical(
         key, logits[None, :], shape=(n_samples, 8)
     )  # (S, 8)
-    sel = jnp.zeros((n_samples, n), p1.dtype)
-    sel = jax.vmap(lambda s, i: s.at[i].add(1.0))(sel, idx)
+    sel = jnp.sum(
+        (idx[:, :, None] == jnp.arange(n)[None, None, :]).astype(p1.dtype),
+        axis=1,
+    )  # (S, N)
 
     E_cand = _eight_point(p1, p2, sel)          # (S, 3, 3)
     E_cand = _project_essential(E_cand)
+    if E_seed is not None:
+        E_cand = jnp.concatenate([E_cand, E_seed[None]], axis=0)
     d = sampson_distance(E_cand, p1, p2)        # (S, N)
     th2 = th_norm * th_norm
     inl = (d < th2) & valid[None, :]
@@ -106,33 +281,34 @@ def ransac_essential(p1, p2, valid, key, *, th_norm, n_samples=1024):
     return E_out, inl_out, jnp.sum(inl_out)
 
 
-def _triangulate(R, t, p1, p2):
-    """Linear (DLT) triangulation for P1=[I|0], P2=[R|t].
+def _ray_depths(R, t, p1, p2):
+    """Closed-form two-ray depths for P1=[I|0], P2=[R|t].
 
-    R: (..., 3, 3), t: (..., 3); p1, p2: (N, 2) normalised.
-    Returns X (..., N, 3) in camera-1 frame and depths (z1, z2).
+    Minimises ``|z1 (R x1h) - z2 x2h + t|`` per point (2x2 normal
+    equations).  R: (..., 3, 3), t: (..., 3); p1, p2: (N, 2) normalised.
+    Returns (z1, z2, dist1) with shape (..., N); degenerate (near-parallel)
+    rays come back with negative depths so they fail cheirality.
     """
-    P2 = jnp.concatenate([R, t[..., :, None]], axis=-1)  # (..., 3, 4)
-    # rows of A per point: x1*P1[2]-P1[0]; y1*P1[2]-P1[1]; same for P2
-    N = p1.shape[0]
-    e = jnp.eye(3, 4, dtype=p1.dtype)
-    r0 = p1[:, 0:1] * e[2] - e[0]  # (N, 4)
-    r1 = p1[:, 1:2] * e[2] - e[1]
-    P2b = jnp.broadcast_to(P2[..., None, :, :], P2.shape[:-2] + (N, 3, 4))
-    r2 = p2[:, 0:1] * P2b[..., 2, :] - P2b[..., 0, :]
-    r3 = p2[:, 1:2] * P2b[..., 2, :] - P2b[..., 1, :]
-    A = jnp.stack(
-        [jnp.broadcast_to(r0, r2.shape), jnp.broadcast_to(r1, r3.shape),
-         r2, r3],
-        axis=-2,
-    )  # (..., N, 4, 4)
-    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
-    Xh = _eigvec_smallest(AtA)  # (..., N, 4)
-    w = Xh[..., 3]
-    X = Xh[..., :3] / jnp.where(jnp.abs(w) > 1e-12, w, 1e-12)[..., None]
-    z1 = X[..., 2]
-    z2 = jnp.einsum("...ij,...nj->...ni", R, X)[..., 2] + t[..., None, 2]
-    return X, z1, z2
+    x1h = jnp.concatenate([p1, jnp.ones_like(p1[:, :1])], axis=1)  # (N, 3)
+    x2h = jnp.concatenate([p2, jnp.ones_like(p2[:, :1])], axis=1)
+    hp = jax.lax.Precision.HIGHEST
+    a = jnp.einsum("...ij,nj->...ni", R, x1h, precision=hp)  # (..., N, 3)
+    b = jnp.broadcast_to(x2h, a.shape)
+    aa = jnp.sum(a * a, axis=-1)
+    bb = jnp.sum(b * b, axis=-1)
+    ab = jnp.sum(a * b, axis=-1)
+    at = jnp.einsum("...ni,...i->...n", a, t, precision=hp)
+    bt = jnp.einsum("...ni,...i->...n", b, t, precision=hp)
+    det = aa * bb - ab * ab
+    good = det > 1e-12 * aa * bb
+    det_safe = jnp.where(good, det, 1.0)
+    z1 = (-at * bb + ab * bt) / det_safe
+    z2 = (aa * bt - ab * at) / det_safe
+    z1 = jnp.where(good, z1, -1.0)
+    z2 = jnp.where(good, z2, -1.0)
+    norm1 = jnp.sqrt(jnp.sum(x1h * x1h, axis=-1))      # (N,)
+    dist1 = jnp.abs(z1) * norm1
+    return z1, z2, dist1
 
 
 @functools.partial(jax.jit, inline=True)
@@ -141,20 +317,21 @@ def recover_pose(E, p1, p2, inlier_mask):
 
     Returns (R, t, n_cheirality, pose_mask) with x2 ~ R x1 + t.
     """
-    U, _, Vt = jnp.linalg.svd(E)
+    U, _, V = _svd3x3(E)
+    Vt = V.swapaxes(-2, -1)
     # enforce proper rotations
-    U = U * jnp.sign(jnp.linalg.det(U))
-    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))[..., None, None]
+    U = U * jnp.sign(_det3x3(U))
+    Vt = Vt * jnp.sign(_det3x3(Vt))[..., None, None]
     W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
                     E.dtype)
-    Ra = U @ W @ Vt
-    Rb = U @ W.T @ Vt
+    hp = jax.lax.Precision.HIGHEST
+    Ra = jnp.einsum("...ij,jk,...kl->...il", U, W, Vt, precision=hp)
+    Rb = jnp.einsum("...ij,kj,...kl->...il", U, W, Vt, precision=hp)
     tu = U[..., :, 2]
     Rs = jnp.stack([Ra, Ra, Rb, Rb])           # (4, 3, 3)
     ts = jnp.stack([tu, -tu, tu, -tu])          # (4, 3)
 
-    X, z1, z2 = _triangulate(Rs, ts, p1, p2)    # (4, N, ...)
-    dist = jnp.linalg.norm(X, axis=-1)
+    z1, z2, dist = _ray_depths(Rs, ts, p1, p2)  # (4, N)
     good = (
         (z1 > 0) & (z2 > 0) & (dist < DIST_THRESH) & inlier_mask[None, :]
     )

@@ -32,7 +32,7 @@ def _norm_coords(x, y, cam):
 
 
 def _ransac_from_assignment(m12, x1, y1, x2, y2, cam, th_norm, key,
-                            n_samples):
+                            n_samples, E_seed=None):
     """RANSAC + cheirality over an assignment vector (rows of frame 1 ->
     columns of frame 2).  Returns (E, R, t, n_che, pose_mask)."""
     p1 = _norm_coords(x1, y1, cam)
@@ -40,7 +40,7 @@ def _ransac_from_assignment(m12, x1, y1, x2, y2, cam, th_norm, key,
     p2 = _norm_coords(x2[j], y2[j], cam)
     vmask = m12 >= 0
     E, inl, _ = ransac_essential(p1, p2, vmask, key, th_norm=th_norm,
-                                 n_samples=n_samples)
+                                 n_samples=n_samples, E_seed=E_seed)
     R, t, n_che, pose_mask = recover_pose(E, p1, p2, inl)
     return E, R, t, n_che, pose_mask
 
@@ -53,7 +53,7 @@ def fused_refine(bits1, nodes1, valid1, angle1, x1, y1, oct1,
                  bits2t, nodes2, valid2, angle2, x2, y2,
                  E0, R0, t0, n0, m12_0,
                  K_inv, sigma2, cam, th_norm, key,
-                 min_pairs, *, has_nodes, max_iters=10, n_samples=1024):
+                 min_pairs, *, has_nodes, max_iters=10, n_samples=512):
     """`refinePose` as one device program.
 
     Loop contract (src/ViewGraph.cpp:725-783): build F from the current E,
@@ -61,6 +61,12 @@ def fused_refine(bits1, nodes1, valid1, angle1, x1, y1, oct1,
     while the cheirality-inlier count strictly grows; stop when the
     rematch is too small (< min_pairs), RANSAC support <= 4, recovery
     <= 6 inliers, or no improvement.
+
+    ``n_samples`` defaults lower than the from-scratch solve: refine
+    starts from an epipolar-consistent match set whose inlier ratio is
+    high, where OpenCV's adaptive RANSAC (the reference path) would
+    terminate after a handful of samples — and the all-inlier
+    least-squares refit dominates the final model anyway.
 
     Returns (E, R, t, best_n, best_m12, iters).
     """
@@ -71,7 +77,10 @@ def fused_refine(bits1, nodes1, valid1, angle1, x1, y1, oct1,
 
     def body(st):
         _, E, R, t, best_n, best_m12, k, it = st
-        F = K_inv.T @ E.astype(f32) @ K_inv
+        # f32 accumulation — the TPU bf16 matmul default is too coarse for
+        # the epipolar gate fed by F
+        F = jnp.einsum("ji,jk,kl->il", K_inv, E.astype(f32), K_inv,
+                       precision=jax.lax.Precision.HIGHEST)
         m12 = _match_epipolar_core(
             bits1, nodes1, valid1, angle1, x1, y1, oct1,
             bits2t, nodes2, valid2, angle2, x2, y2,
@@ -80,7 +89,8 @@ def fused_refine(bits1, nodes1, valid1, angle1, x1, y1, oct1,
         count = jnp.sum(m12 >= 0)
         k, sub = jax.random.split(k)
         E_new, R_new, t_new, n_new, pose_mask = _ransac_from_assignment(
-            m12, x1, y1, x2, y2, cam, th_norm, sub, n_samples
+            m12, x1, y1, x2, y2, cam, th_norm, sub, n_samples,
+            E_seed=E.astype(f32),
         )
         ok = ((count >= min_pairs) & (count > 4) & (n_new > 6)
               & (n_new > best_n))
@@ -223,7 +233,9 @@ def fused_window_connect(bits1, nodes1, valid1, angle1, x1, y1, oct1,
             K_inv, sigma2, cam, th_norm, sub,
             # same rematch-size floor refinePose applies (0.75*min_matches)
             jnp.ceil(0.75 * min_matches).astype(jnp.int32),
-            has_nodes=has_nodes, max_iters=max_iters, n_samples=n_samples,
+            # full sample budget for the from-scratch solve above; the
+            # refine re-solves run at the smaller high-inlier-ratio budget
+            has_nodes=has_nodes, max_iters=max_iters, n_samples=512,
         )
         do_refine = cntf > 10
         E = jnp.where(do_refine, E, E0.astype(jnp.float32))

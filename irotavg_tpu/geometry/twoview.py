@@ -86,10 +86,11 @@ def find_relative_pose(f1, f2, pairs, camera, *, th: float = 1.0,
     valid[:m] = True
 
     th_norm = th / float(camera.fx)
-    E, R, t, n_che, pose_mask = _solve_jit(
+    res = _solve_jit(
         jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(valid),
         jax.random.key(seed), jnp.float32(th_norm),
     )
+    E, R, t, n_che, pose_mask = jax.device_get(res)  # one bundled fetch
     n_che = int(n_che)
     if n_che <= 6:
         return None
@@ -98,7 +99,7 @@ def find_relative_pose(f1, f2, pairs, camera, *, th: float = 1.0,
         t=np.asarray(t, np.float64),
         E=np.asarray(E, np.float64),
         n_cheirality=n_che,
-        inlier_mask=np.asarray(pose_mask)[:m],
+        inlier_mask=pose_mask[:m],
     )
 
 
@@ -117,7 +118,8 @@ def refine_pose(f1, f2, rel: RelativePose, pairs, camera, *,
     from irotavg_tpu.matching.matchers import _bits, _dev
 
     K_inv = np.linalg.inv(camera.K).astype(np.float32)
-    n1 = len(f1.valid)
+    n1 = f1.capacity if hasattr(f1, "capacity") else len(f1.valid)
+    n2 = f2.capacity if hasattr(f2, "capacity") else len(f2.valid)
     m12_0 = np.full(n1, -1, np.int32)
     m12_0[pairs[:, 0]] = pairs[:, 1]
     n_oct = 8
@@ -127,8 +129,8 @@ def refine_pose(f1, f2, rel: RelativePose, pairs, camera, *,
     )
     has_nodes = f1.feat_nodes is not None and f2.feat_nodes is not None
     zeros1 = jnp.zeros((n1,), jnp.int32)
-    zeros2 = jnp.zeros((len(f2.valid),), jnp.int32)
-    E, R, t, n, m12, _ = fused_refine(
+    zeros2 = jnp.zeros((n2,), jnp.int32)
+    res = fused_refine(
         _bits(f1),
         _dev(f1, "feat_nodes") if has_nodes else zeros1,
         _dev(f1, "valid"), _dev(f1, "angle"),
@@ -144,9 +146,10 @@ def refine_pose(f1, f2, rel: RelativePose, pairs, camera, *,
         jnp.int32(int(np.ceil(0.75 * min_matches))),
         has_nodes=has_nodes, max_iters=max_iters,
     )
+    E, R, t, n, m12, _ = jax.device_get(res)  # one bundled fetch
     n = int(n)
     if n > len(pairs):
-        best_pairs = matches_to_pairs(np.asarray(m12))
+        best_pairs = matches_to_pairs(m12)
         best = RelativePose(
             R=np.asarray(R, np.float64), t=np.asarray(t, np.float64),
             E=np.asarray(E, np.float64), n_cheirality=n,

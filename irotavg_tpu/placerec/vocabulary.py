@@ -118,8 +118,9 @@ class Vocabulary:
             desc, valid, self._children_j, self._node_desc_j,
             self._is_leaf_j, self.L, nid_level,
         )
-        leaf = np.asarray(leaf)
-        nid = np.asarray(nid)
+        import jax
+
+        leaf, nid = jax.device_get((leaf, nid))  # one bundled fetch
 
         bow: dict[int, float] = {}
         ok = leaf >= 0

