@@ -176,10 +176,26 @@ def _kron3(T2, T1):
     return k.reshape(k.shape[:-4] + (9, 9))
 
 
-def _eight_point(p1, p2, weights):
-    """Weighted 8-point solve -> (..., 3, 3) E candidates (unprojected).
+def _design_sq(p1, p2):
+    """Per-row outer products of the 8-point design matrix.
 
-    p1, p2: (N, 2); weights: (..., N) selecting/weighting rows.
+    Returns ``A2 (N, 81)`` with ``A2[n] = vec(a_n a_n^T)`` for the row
+    9-vector ``a_n = x2h (x) x1h``.  Any weighted Gram matrix is then ONE
+    matmul ``w @ A2`` and a minimal-sample Gram matrix is a gather + sum
+    of 8 rows — no (S, N, 9) intermediate ever materialises (at S = 1024
+    hypotheses that intermediate is ~600 MB of HBM traffic per solve).
+    """
+    x1, y1 = p1[:, 0], p1[:, 1]
+    x2, y2 = p2[:, 0], p2[:, 1]
+    ones = jnp.ones_like(x1)
+    A = jnp.stack(
+        [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=1
+    )  # (N, 9)
+    return (A[:, :, None] * A[:, None, :]).reshape(-1, 81)
+
+
+def _solve_gram(AtA):
+    """Null direction of batched 8-point Gram matrices (..., 9, 9).
 
     The row 9-vector is ``x2h (x) x1h``, so Hartley normalisation (the
     classic conditioning fix for the 8-point system — centroid to origin,
@@ -189,15 +205,7 @@ def _eight_point(p1, p2, weights):
     the design matrix.  Without this, f32 factorisations lose the null
     direction entirely (minimal-sample Gram matrices reach cond ~ 1e7).
     """
-    x1, y1 = p1[:, 0], p1[:, 1]
-    x2, y2 = p2[:, 0], p2[:, 1]
-    ones = jnp.ones_like(x1)
-    A = jnp.stack(
-        [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=1
-    )  # (N, 9)
     hp = jax.lax.Precision.HIGHEST
-    AtA = jnp.einsum("...n,ni,nj->...ij", weights, A, A, precision=hp)
-
     # weighted moments live inside AtA (column layout above)
     sw = AtA[..., 8, 8]
     T1 = _hartley_T(sw, AtA[..., 8, 6], AtA[..., 8, 7],
@@ -220,6 +228,29 @@ def _eight_point(p1, p2, weights):
     return e.reshape(e.shape[:-1] + (3, 3))
 
 
+def _eight_point(p1, p2, weights):
+    """Weighted 8-point solve -> (..., 3, 3) E candidates (unprojected).
+
+    p1, p2: (N, 2); weights: (..., N) selecting/weighting rows.  The Gram
+    matrix is ONE matmul against the precomputed outer-product rows.
+    """
+    A2 = _design_sq(p1, p2)
+    AtA = jnp.einsum(
+        "...n,nk->...k", weights, A2,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(weights.shape[:-1] + (9, 9))
+    return _solve_gram(AtA)
+
+
+def _eight_point_samples(p1, p2, idx):
+    """Minimal-sample 8-point solve for ``idx (S, 8)`` index draws:
+    gather the 8 outer-product rows per sample and sum — (S, 8, 81) is the
+    only intermediate."""
+    A2 = _design_sq(p1, p2)
+    AtA = jnp.sum(A2[idx], axis=-2).reshape(idx.shape[:-1] + (9, 9))
+    return _solve_gram(AtA)
+
+
 def _project_essential(E):
     """Nearest essential matrix: singular values -> (1, 1, 0)."""
     U, s, Vt = _svd3x3(E)
@@ -230,36 +261,60 @@ def _project_essential(E):
     )
 
 
+def _cheirality_counts(E, p1, p2, inl):
+    """Best-branch cheirality count for batched E (..., 3, 3) against the
+    per-candidate Sampson inlier masks ``inl (..., N)``."""
+    U, _, V = _svd3x3(E)
+    Vt = V.swapaxes(-2, -1)
+    U = U * jnp.sign(_det3x3(U))[..., None, None]
+    Vt = Vt * jnp.sign(_det3x3(Vt))[..., None, None]
+    W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
+                    E.dtype)
+    hp = jax.lax.Precision.HIGHEST
+    Ra = jnp.einsum("...ij,jk,...kl->...il", U, W, Vt, precision=hp)
+    Rb = jnp.einsum("...ij,kj,...kl->...il", U, W, Vt, precision=hp)
+    tu = U[..., :, 2]
+    Rs = jnp.stack([Ra, Ra, Rb, Rb], axis=-3)          # (..., 4, 3, 3)
+    ts = jnp.stack([tu, -tu, tu, -tu], axis=-2)        # (..., 4, 3)
+    z1, z2, dist = _ray_depths(Rs, ts, p1, p2)         # (..., 4, N)
+    good = ((z1 > 0) & (z2 > 0) & (dist < DIST_THRESH)
+            & inl[..., None, :])
+    return jnp.max(jnp.sum(good, axis=-1), axis=-1)    # (...,)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("n_samples",), inline=True
+    jax.jit, static_argnames=("n_samples", "rerank_k"), inline=True
 )
 def ransac_essential(p1, p2, valid, key, *, th_norm, n_samples=1024,
-                     E_seed=None):
+                     E_seed=None, rerank_k=48):
     """RANSAC essential matrix from (N, 2) normalised correspondences.
 
     Returns (E (3,3), inlier_mask (N,), n_inliers).  ``th_norm`` is the
     Sampson threshold in normalised coords (pixel_th / focal).
 
+    Model selection is cheirality-aware: the top ``rerank_k`` candidates
+    by Sampson count are re-ranked by their best-branch cheirality count.
+    At small baselines the Sampson residual cannot distinguish
+    translation directions — many E's fit the correspondences equally —
+    so selecting on triangulated-depth support is what pins t (and with
+    it R) to the physical solution.  OpenCV only cheirality-tests the
+    single winner; the closed-form two-ray depth solve makes testing a
+    whole candidate slate affordable.
+
     ``E_seed`` (optional (3, 3)) joins the hypothesis pool as one more
-    candidate — refinement loops pass their current model so a reduced
-    sample budget can never regress below it (the warm-start analogue of
-    OpenCV's adaptive early termination at high inlier ratios).
+    candidate — refinement loops may pass their current model so a
+    reduced sample budget cannot regress below it.
     """
-    n = p1.shape[0]
+    # S minimal samples of 8 correspondences, uniform over the valid set:
+    # draw ranks in [0, n_valid) and map through the cumulative count
+    # (equivalent to a masked categorical draw without materialising the
+    # (S, 8, N) gumbel tensor)
+    cs = jnp.cumsum(valid.astype(jnp.int32))
+    nv = jnp.maximum(cs[-1], 1)
+    ranks = jax.random.randint(key, (n_samples, 8), 0, nv)
+    idx = jnp.searchsorted(cs, ranks + 1)       # (S, 8) valid positions
 
-    # S minimal samples of 8 correspondences (masked categorical draw);
-    # selection weights built by broadcast-compare (gathers/scatters are
-    # slow paths on TPU)
-    logits = jnp.where(valid, 0.0, -jnp.inf)
-    idx = jax.random.categorical(
-        key, logits[None, :], shape=(n_samples, 8)
-    )  # (S, 8)
-    sel = jnp.sum(
-        (idx[:, :, None] == jnp.arange(n)[None, None, :]).astype(p1.dtype),
-        axis=1,
-    )  # (S, N)
-
-    E_cand = _eight_point(p1, p2, sel)          # (S, 3, 3)
+    E_cand = _eight_point_samples(p1, p2, idx)  # (S, 3, 3)
     E_cand = _project_essential(E_cand)
     if E_seed is not None:
         E_cand = jnp.concatenate([E_cand, E_seed[None]], axis=0)
@@ -267,15 +322,20 @@ def ransac_essential(p1, p2, valid, key, *, th_norm, n_samples=1024,
     th2 = th_norm * th_norm
     inl = (d < th2) & valid[None, :]
     scores = jnp.sum(inl, axis=1)
-    best = jnp.argmax(scores)
+
+    # cheirality-aware re-rank of the Sampson top-k
+    _, top = jax.lax.top_k(scores, rerank_k)
+    che = _cheirality_counts(E_cand[top], p1, p2, inl[top])
+    best = top[jnp.argmax(che)]
 
     # refit on the best sample's inliers (least squares over all inliers)
     best_inl = inl[best].astype(p1.dtype)
     E_ref = _project_essential(_eight_point(p1, p2, best_inl))
     d_ref = sampson_distance(E_ref, p1, p2)
     inl_ref = (d_ref < th2) & valid
-    # keep the refit only if it did not lose inliers
-    better = jnp.sum(inl_ref) >= scores[best]
+    # keep the refit only if it does not lose cheirality support
+    che_ref = _cheirality_counts(E_ref, p1, p2, inl_ref)
+    better = che_ref >= jnp.max(che)
     E_out = jnp.where(better, E_ref, E_cand[best])
     inl_out = jnp.where(better, inl_ref, inl[best])
     return E_out, inl_out, jnp.sum(inl_out)

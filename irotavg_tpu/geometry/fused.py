@@ -62,24 +62,21 @@ def fused_refine(bits1, nodes1, valid1, angle1, x1, y1, oct1,
     rematch is too small (< min_pairs), RANSAC support <= 4, recovery
     <= 6 inliers, or no improvement.
 
-    ``n_samples`` defaults lower than the from-scratch solve: refine
-    starts from an epipolar-consistent match set whose inlier ratio is
-    high, where OpenCV's adaptive RANSAC (the reference path) would
-    terminate after a handful of samples — and the all-inlier
-    least-squares refit dominates the final model anyway.
+    Each re-solve seeds the hypothesis pool with the incoming model
+    (``E_seed``) so a refine iteration can never regress below it.
 
     Returns (E, R, t, best_n, best_m12, iters).
     """
     f32 = jnp.float32
 
     def cond(st):
-        return (~st[0]) & (st[7] < max_iters)
+        return (~st[0]) & (st[9] < max_iters)
 
     def body(st):
-        _, E, R, t, best_n, best_m12, k, it = st
+        _, E_cur, E, R, t, best_n, best_m12, k, stall, it = st
         # f32 accumulation — the TPU bf16 matmul default is too coarse for
         # the epipolar gate fed by F
-        F = jnp.einsum("ji,jk,kl->il", K_inv, E.astype(f32), K_inv,
+        F = jnp.einsum("ji,jk,kl->il", K_inv, E_cur.astype(f32), K_inv,
                        precision=jax.lax.Precision.HIGHEST)
         m12 = _match_epipolar_core(
             bits1, nodes1, valid1, angle1, x1, y1, oct1,
@@ -88,24 +85,42 @@ def fused_refine(bits1, nodes1, valid1, angle1, x1, y1, oct1,
         ).astype(jnp.int32)
         count = jnp.sum(m12 >= 0)
         k, sub = jax.random.split(k)
+        # NO model seeding here: at small baselines the Sampson vote
+        # cannot distinguish translation directions, so a seeded pool
+        # locks into a self-reinforcing model that cheirality rejects —
+        # fresh hypotheses + the all-inlier refit migrate t to the
+        # direction the depth test accepts
         E_new, R_new, t_new, n_new, pose_mask = _ransac_from_assignment(
             m12, x1, y1, x2, y2, cam, th_norm, sub, n_samples,
-            E_seed=E.astype(f32),
         )
-        ok = ((count >= min_pairs) & (count > 4) & (n_new > 6)
-              & (n_new > best_n))
-        E = jnp.where(ok, E_new, E)
-        R = jnp.where(ok, R_new, R)
-        t = jnp.where(ok, t_new, t)
-        best_n = jnp.where(ok, n_new, best_n).astype(jnp.int32)
-        best_m12 = jnp.where(ok, jnp.where(pose_mask, m12, -1), best_m12)
-        return (~ok, E, R, t, best_n, best_m12, k, it + 1)
+        usable = (count >= min_pairs) & (count > 4) & (n_new > 6)
+        # improvement tracking: keep the BEST model seen, but keep
+        # iterating from the newest usable model — a single unlucky
+        # re-solve must not freeze the alternation (the reference's
+        # stop-at-first-non-growth is robust there because OpenCV's
+        # adaptive RANSAC is near-deterministic at these inlier ratios)
+        improved = usable & (n_new > best_n)
+        E = jnp.where(improved, E_new, E)
+        R = jnp.where(improved, R_new, R)
+        t = jnp.where(improved, t_new, t)
+        best_n = jnp.where(improved, n_new, best_n).astype(jnp.int32)
+        best_m12 = jnp.where(
+            improved, jnp.where(pose_mask, m12, -1), best_m12
+        )
+        E_cur = jnp.where(usable, E_new, E_cur)
+        # patience: allow ONE non-improving re-solve before stopping (a
+        # single unlucky draw must not end the alternation, but running
+        # all max_iters when converged wastes the whole batch's time)
+        stall = jnp.where(improved, 0, stall + 1).astype(jnp.int32)
+        done = (~usable) | (stall >= 2)
+        return (done, E_cur, E, R, t, best_n, best_m12, k, stall, it + 1)
 
-    st = (jnp.asarray(False), E0.astype(f32), R0.astype(f32),
+    st = (jnp.asarray(False), E0.astype(f32), E0.astype(f32), R0.astype(f32),
           t0.astype(f32), jnp.asarray(n0, jnp.int32),
-          jnp.asarray(m12_0, jnp.int32), key, jnp.asarray(0, jnp.int32))
+          jnp.asarray(m12_0, jnp.int32), key, jnp.asarray(0, jnp.int32),
+          jnp.asarray(0, jnp.int32))
     st = jax.lax.while_loop(cond, body, st)
-    return st[1], st[2], st[3], st[4], st[5], st[7]
+    return st[2], st[3], st[4], st[5], st[6], st[9]
 
 
 @functools.partial(
@@ -115,7 +130,7 @@ def fused_initial_pose(bits_c, valid_c, oct_c, x_c, y_c,
                        bits_pt, valid_p, oct_p, x_p, y_p,
                        local_rad0, cam, th_norm, key,
                        min_inliers, nnratio, *, max_trials=6,
-                       n_samples=1024):
+                       n_samples=512):
     """`findInitialPose`'s adaptive-radius search as one device program
     (src/ViewGraph.cpp:828-902).
 
@@ -199,7 +214,7 @@ def fused_window_connect(bits1, nodes1, valid1, angle1, x1, y1, oct1,
                          m12_0, active,
                          bits2t, nodes2, valid2, angle2, x2, y2,
                          K_inv, sigma2, cam, th_norm, key, min_matches,
-                         *, has_nodes, max_iters=10, n_samples=1024):
+                         *, has_nodes, max_iters=10, n_samples=512):
     """The window walk's per-older-view RANSAC + refinement, batched.
 
     `processFrame`'s back-connection loop (src/ViewGraph.cpp:1109-1136)
@@ -250,3 +265,89 @@ def fused_window_connect(bits1, nodes1, valid1, angle1, x1, y1, oct1,
     keys = jax.random.split(key, bits1.shape[0])
     return jax.vmap(one)(bits1, nodes1, valid1, angle1, x1, y1, oct1,
                          m12_0, active, keys)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iters", "n_samples")
+)
+def fused_pair_estimate(bitsA, validA, octA, xA, yA, angleA,
+                        bitsBt, validB, octB, xB, yB, angleB,
+                        radius, K_inv, sigma2, cam, th_norm, key,
+                        min_matches, *, max_iters=10, n_samples=512):
+    """Batched independent two-view estimation for arbitrary frame pairs.
+
+    The offline/batch pipeline's core: a leading axis of P pairs, each
+    with its own source (A) and target (B) features and search radius.
+    Per pair: local window matching (A rows -> B columns) -> essential
+    RANSAC + cheirality -> epipolar-rematch refinement — the same
+    match/solve/refine contract the incremental engine applies pair-wise
+    (src/ViewGraph.cpp:828-902, :725-783), but with many pairs per device
+    program instead of one dispatch each.
+
+    Returns (E, R, t, n_che, m12, success) with leading axis P, where
+    success requires >= min_matches final matches and the recovered pose
+    maps A -> B (edge convention ``R_B = R_AB R_A``).
+    """
+
+    def one(bA, vA, oA, xa, ya, aA, bBt, vB, oB, xb, yb, aB, rad, k):
+        m12 = _match_locally_core(
+            bA, vA, oA, xa, ya, bBt, vB, oB, xb, yb, rad, 0.9
+        ).astype(jnp.int32)
+        count0 = jnp.sum(m12 >= 0)
+        k, sub = jax.random.split(k)
+        E0, R0, t0, n0, pose_mask = _ransac_from_assignment(
+            m12, xa, ya, xb, yb, cam, th_norm, sub, n_samples
+        )
+        rel_ok = (count0 > 4) & (n0 > 6)
+        m12f = jnp.where(pose_mask, m12, -1).astype(jnp.int32)
+        cntf = jnp.sum(m12f >= 0)
+
+        k, sub = jax.random.split(k)
+        zeros = jnp.zeros_like(m12)
+        E, R, t, n, m12r, _ = fused_refine(
+            bA, zeros, vA, aA, xa, ya, oA,
+            bBt, zeros, vB, aB, xb, yb,
+            E0, R0, t0, cntf, m12f,
+            K_inv, sigma2, cam, th_norm, sub,
+            jnp.ceil(0.75 * min_matches).astype(jnp.int32),
+            has_nodes=False, max_iters=max_iters, n_samples=512,
+        )
+        do_refine = cntf > 10
+        E = jnp.where(do_refine, E, E0.astype(jnp.float32))
+        R = jnp.where(do_refine, R, R0.astype(jnp.float32))
+        t = jnp.where(do_refine, t, t0.astype(jnp.float32))
+        n = jnp.where(do_refine, n, n0).astype(jnp.int32)
+        m12 = jnp.where(do_refine, m12r, m12f)
+        final_cnt = jnp.sum(m12 >= 0)
+        success = rel_ok & (final_cnt >= min_matches)
+        return E, R, t, n, m12, success
+
+    keys = jax.random.split(key, bitsA.shape[0])
+    return jax.vmap(one)(bitsA, validA, octA, xA, yA, angleA,
+                         bitsBt, validB, octB, xB, yB, angleB,
+                         radius, keys)
+
+
+@jax.jit
+def fused_flow(bitsA, validA, octA, xA, yA,
+               bitsBt, validB, octB, xB, yB, radius):
+    """Batched mean feature displacement between frame pairs.
+
+    The offline analogue of `findInitialPose`'s velocity estimate
+    (src/ViewGraph.cpp:848-864): per pair, local-window match then the
+    mean match displacement in pixels.  Returns (mean_disp (P,),
+    n_matches (P,))."""
+
+    def one(bA, vA, oA, xa, ya, bBt, vB, oB, xb, yb):
+        m12 = _match_locally_core(
+            bA, vA, oA, xa, ya, bBt, vB, oB, xb, yb, radius, 0.9
+        )
+        matched = m12 >= 0
+        count = jnp.sum(matched)
+        j = jnp.clip(m12, 0, None)
+        disp = jnp.hypot(xa - xb[j], ya - yb[j])
+        mean = jnp.sum(jnp.where(matched, disp, 0.0)) / jnp.maximum(count, 1)
+        return mean.astype(jnp.float32), count.astype(jnp.int32)
+
+    return jax.vmap(one)(bitsA, validA, octA, xA, yA,
+                         bitsBt, validB, octB, xB, yB)
