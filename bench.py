@@ -23,7 +23,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
-PROBLEM = "/root/reference/ral/data/ravg_input.txt"
+PROBLEM = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "tests", "data", "ravg_input.txt.gz",
+)
 REPS = 5
 
 

@@ -48,15 +48,24 @@ def _bucket(x: int, lo: int = 32) -> int:
 @lru_cache(maxsize=None)
 def _window_solver(m_pad: int, n_pad: int, l1_iters: int, irls_iters: int,
                    sigma: float, change_th: float, cost_name: str,
-                   dtype_name: str):
-    """Compiled L1-RA + IRLS pipeline for one padding bucket."""
-    l1_cfg = L1RAConfig(max_iters=l1_iters, change_th=change_th)
+                   dtype_name: str, backend: str = "dense"):
+    """Compiled L1-RA + IRLS pipeline for one padding bucket.
+
+    ``backend="dense"`` factorises the n^2 Laplacian on the MXU (right for
+    windowed solves); ``"cg"`` is the matrix-free escape hatch for the
+    quasi-global re-solve (src/IRotAvg.cpp:371-378 calls rotAvg(5e6) after
+    loop closure), where a dense n^2 build would be O(n^2) HBM.
+    """
+    cg_tol = 1e-7 if dtype_name == "float32" else 1e-10
+    l1_cfg = L1RAConfig(max_iters=l1_iters, change_th=change_th,
+                        backend=backend, cg_tol=cg_tol)
     irls_cfg = IRLSConfig(
         cost=Cost.parse(cost_name),
         sigma=sigma,
         max_iters=irls_iters,
         change_th=change_th,
-        backend="dense",
+        backend=backend,
+        cg_tol=cg_tol,
     )
 
     @jax.jit
@@ -81,8 +90,16 @@ class IncrementalRotAvg:
     Quaternions are ``[x y z w]`` rows, convention ``R_j = R_ij R_i``.
     """
 
-    def __init__(self, dtype=np.float64):
+    def __init__(self, dtype=np.float64, dense_n_max: int = 2048,
+                 large_dtype=np.float32):
+        """``dense_n_max``: largest node bucket solved with a dense MXU
+        Cholesky; bigger windows (the quasi-global re-solve) switch to
+        matrix-free Jacobi-CG.  ``large_dtype`` (None to disable) is the
+        compute dtype for those large solves — f32 on TPU, where f64 is
+        emulated and 4x slower per HBM byte."""
         self.dtype = np.dtype(dtype)
+        self.dense_n_max = int(dense_n_max)
+        self.large_dtype = None if large_dtype is None else np.dtype(large_dtype)
         self.Q = np.zeros((0, 4), self.dtype)  # absolute rotations
         self.fixed = np.zeros((0,), bool)      # explicit fix_pose pins
         self.edges = np.zeros((0, 2), np.int32)
@@ -178,12 +195,16 @@ class IncrementalRotAvg:
 
         m, n = len(edge_ids), len(order)
         m_pad, n_pad = _bucket(m), _bucket(n)
+        large = n_pad > self.dense_n_max
+        backend = "cg" if large else "dense"
+        sdtype = (self.large_dtype
+                  if (large and self.large_dtype is not None) else self.dtype)
         edges_p = np.zeros((m_pad, 2), np.int32)
         edges_p[:m] = edges_sub
-        QQ_p = np.zeros((m_pad, 4), self.dtype)
+        QQ_p = np.zeros((m_pad, 4), sdtype)
         QQ_p[:, 3] = 1.0
         QQ_p[:m] = QQ_sub
-        Q_p = np.zeros((n_pad, 4), self.dtype)
+        Q_p = np.zeros((n_pad, 4), sdtype)
         Q_p[:, 3] = 1.0
         Q_p[:n] = Q_sub
         emask = np.zeros(m_pad, bool)
@@ -193,7 +214,7 @@ class IncrementalRotAvg:
 
         solve = _window_solver(
             m_pad, n_pad, l1_iters, irls_iters, float(sigma),
-            float(change_th), cost, self.dtype.name,
+            float(change_th), cost, np.dtype(sdtype).name, backend,
         )
         res = solve(
             jnp.asarray(edges_p), jnp.asarray(QQ_p), jnp.asarray(Q_p),
@@ -208,6 +229,8 @@ class IncrementalRotAvg:
             "f": f,
             "m_pad": m_pad,
             "n_pad": n_pad,
+            "backend": backend,
+            "solve_dtype": np.dtype(sdtype).name,
             "irls_iters": int(iters),
             "score": float(score),
             "weights": w[:m],

@@ -12,16 +12,19 @@ reference does (ral/test.cpp:203-215).  Output file: n rotation rows
 
 from __future__ import annotations
 
+import gzip
+
 import numpy as np
 
 
 def read_problem(path):
-    """Parse a problem file.
+    """Parse a problem file (plain text or ``.gz``-compressed).
 
     Returns dict with: edges (m,2) int32 (remapped), QQ (m,4) [x y z w],
     Q (n,4) [x y z w] (zeros where absent), f int, n_abs_given int.
     """
-    with open(path) as fh:
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "rt") as fh:
         tokens = fh.read().split()
     it = iter(tokens)
     m = int(next(it))

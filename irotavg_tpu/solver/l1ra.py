@@ -34,6 +34,7 @@ from irotavg_tpu.solver.graph import (
     RotationGraph,
     incidence_matvec,
     incidence_rmatvec,
+    laplacian_cg_solve,
     laplacian_dense,
 )
 
@@ -50,13 +51,17 @@ class L1RAConfig:
     change_th: float = 1e-3
     pd_iters: int = 2  # Newton iterations per decode (l1_step, fixed)
     ridge: float = 0.0
+    backend: str = "dense"  # "dense" (Cholesky) or "cg" (matrix-free)
+    cg_tol: float = 1e-10
+    cg_maxiter: int = 1000
 
 
 def _masked_norm2(x, mask):
     return jnp.sum(jnp.where(mask, x * x, 0.0))
 
 
-def _l1decode_pd_single(y, edges, free, emask, n, pd_iters, ridge):
+def _l1decode_pd_single(y, edges, free, emask, n, pd_iters, ridge,
+                        backend="dense", cg_tol=1e-10, cg_maxiter=1000):
     """One scalar l1 decode ``argmin_x ||A x - y||_1`` from x0 = 0.
 
     All (m,) quantities are masked by ``emask``; x lives in full node space
@@ -136,10 +141,16 @@ def _l1decode_pd_single(y, edges, free, emask, n, pd_iters, ridge):
         w1 = -(1.0 / tau) * Atop(-inv_fu1 + inv_fu2)
         w1p = w1 - Atop((sig2 / sig1) * w2)
 
-        H = laplacian_dense(edges, sigx, free, emask, n, ridge=ridge)
-        dx = jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(H), w1p[:, None]
-        )[:, 0]
+        if backend == "dense":
+            H = laplacian_dense(edges, sigx, free, emask, n, ridge=ridge)
+            dx = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(H), w1p[:, None]
+            )[:, 0]
+        else:  # matrix-free Jacobi-CG: O(m) per matvec, no n^2 Laplacian
+            dx = laplacian_cg_solve(
+                edges, sigx, w1p[:, None], free, emask,
+                tol=cg_tol, maxiter=cg_maxiter,
+            )[0][:, 0]
         dx = jnp.where(free, dx, 0.0)
         Adx = Aop(dx)
 
@@ -239,6 +250,9 @@ def l1ra_step(g: RotationGraph, cfg: L1RAConfig):
         n=g.n,
         pd_iters=cfg.pd_iters,
         ridge=cfg.ridge,
+        backend=cfg.backend,
+        cg_tol=cfg.cg_tol,
+        cg_maxiter=cfg.cg_maxiter,
     )
     X = jax.vmap(decode)(w3.T).T  # (n, 3); batched Newton solves on MXU
 

@@ -13,7 +13,8 @@ from irotavg_tpu.config import (
 from irotavg_tpu.utils.sequence import SequenceLoader
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-RAVG_INPUT = "/root/reference/ral/data/ravg_input.txt"
+# vendored copy of the reference's bundled problem (ral/data/ravg_input.txt:1)
+RAVG_INPUT = os.path.join(REPO, "tests", "data", "ravg_input.txt.gz")
 
 KITTI_YAML = """\
 %YAML:1.0

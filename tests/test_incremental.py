@@ -126,6 +126,62 @@ def test_bucketing_reuses_compilations():
     assert _window_solver.cache_info().currsize <= 3
 
 
+def test_large_window_cg_backend_agrees_with_dense():
+    """Above ``dense_n_max`` the quasi-global re-solve must switch to the
+    matrix-free CG backend (f32) and agree with the dense f64 path.
+
+    This is the scaling escape hatch for the reference's rotAvg(5000000)
+    contract (src/IRotAvg.cpp:371-378) — at KITTI scale a dense n^2
+    Laplacian in f64 would be ~0.5 GB per factorisation."""
+    n = 220
+    q_gt, rel = _sim_sequence(n=n, noise_deg=1.5, seed=7)
+
+    def build(**kw):
+        eng = IncrementalRotAvg(**kw)
+        for j in range(n):
+            eng.add_view()
+            for d in (1, 2, 3):
+                if j - d >= 0:
+                    eng.add_edge(j - d, j, rel(j - d, j))
+            if j == 0:
+                eng.fix_pose(0)
+            else:
+                eng.Q[j] = so3.qmul(rel(j - 1, j), eng.Q[j - 1])
+        eng.add_edge(0, n - 1, rel(0, n - 1))  # loop edge
+        return eng
+
+    # seeds inside rel() are stateful: rebuild the generator per engine
+    eng_dense = build()
+    stats_d = eng_dense.rot_avg(5_000_000)
+    assert stats_d["backend"] == "dense"
+
+    q_gt2, rel2 = _sim_sequence(n=n, noise_deg=1.5, seed=7)
+
+    def build2(**kw):
+        eng = IncrementalRotAvg(**kw)
+        for j in range(n):
+            eng.add_view()
+            for d in (1, 2, 3):
+                if j - d >= 0:
+                    eng.add_edge(j - d, j, rel2(j - d, j))
+            if j == 0:
+                eng.fix_pose(0)
+            else:
+                eng.Q[j] = so3.qmul(rel2(j - 1, j), eng.Q[j - 1])
+        eng.add_edge(0, n - 1, rel2(0, n - 1))
+        return eng
+
+    eng_cg = build2(dense_n_max=128, large_dtype=np.float32)
+    stats_c = eng_cg.rot_avg(5_000_000)
+    assert stats_c["backend"] == "cg"
+    assert stats_c["solve_dtype"] == "float32"
+
+    # same input edges (same rng stream) -> solutions must agree closely
+    gd = np.degrees(np.asarray(so3.qgeodesic(
+        so3.qnormalize(eng_dense.Q), so3.qnormalize(eng_cg.Q))))
+    assert gd.max() < 0.05, f"max dense-vs-cg divergence {gd.max():.4f} deg"
+
+
 def test_save_poses_format(tmp_path):
     eng = IncrementalRotAvg()
     eng.add_view()
