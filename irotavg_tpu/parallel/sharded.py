@@ -103,7 +103,10 @@ def _pcg(edges, coef, rhs, free_mask, edge_mask, *, tol, maxiter):
         return jax.lax.psum(part, GRAPH_AXIS)
 
     d = jax.lax.psum(_local_diag(edges, coef, free_mask, edge_mask, n), GRAPH_AXIS)
-    dinv = 1.0 / jnp.where(free_mask, d, 1.0)
+    # guard d == 0 (free node with all incident weights zeroed) — matches
+    # solver.graph.laplacian_diag: unit diagonal keeps CG finite and leaves
+    # the unconstrained node at a zero (minimum-norm) update
+    dinv = 1.0 / jnp.where(free_mask & (d > 0), d, 1.0)
 
     b = jnp.where(free_mask[:, None], rhs, 0.0)
     x0 = jnp.zeros_like(b)

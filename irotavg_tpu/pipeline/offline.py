@@ -260,6 +260,7 @@ def run_offline(images, camera, extractor, *, vocab=None,
         keyframes = [k_ for k_, ok in zip(keyframes, in_comp) if ok]
         acc_since = [a for a, ok in zip(acc_since, in_comp[1:]) if ok]
         K = len(keyframes)
+        kf = np.asarray(keyframes)  # loop-closure stages index through kf
 
     # -- stage 4: loop closure (optional) ------------------------------------
     loop_edges = 0
@@ -269,9 +270,12 @@ def run_offline(images, camera, extractor, *, vocab=None,
         from irotavg_tpu.placerec.database import ViewDatabase
 
         bows = []
-        for k_i in range(K):
-            bow, _ = vocab.transform(desc[kf[k_i]], valid[kf[k_i]])
-            bows.append(bow)
+        for lo, hi in _chunks(K, 16):   # batched descent: one program + one
+            sel = np.arange(lo, hi)     # fetch per 16 keyframes
+            sel = np.concatenate([sel, np.repeat(sel[-1:], 16 - (hi - lo))])
+            idx = jnp.asarray(kf[sel])  # tail padded to reuse the executable
+            res = vocab.transform_batch(desc[idx], valid[idx])
+            bows.extend(b for b, _ in res[: hi - lo])
 
         adjacency: dict[int, dict[int, int]] = {}
         for (a, b), nm in zip(edges, n_matches):

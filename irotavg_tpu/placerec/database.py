@@ -24,21 +24,40 @@ from __future__ import annotations
 
 import collections
 
+import numpy as np
+
+from irotavg_tpu.placerec.bow import bow_score as _default_l1_score
+
 
 class ViewDatabase:
-    """Host-side inverted file (tiny, latency-bound bookkeeping)."""
+    """Host-side inverted file (tiny, latency-bound bookkeeping).
+
+    Stored BoW vectors are additionally cached as sorted (ids, weights)
+    arrays so candidate scoring runs through the native batched L1
+    merge-join (`native.bow_l1_scores`) — one C call per query instead of
+    one Python sorted-merge per candidate."""
 
     def __init__(self):
         self.inverted: dict[int, list[int]] = collections.defaultdict(list)
         self.bows: dict[int, dict] = {}
+        self._arrs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    @staticmethod
+    def _to_arrays(bow: dict):
+        ids = np.fromiter(bow.keys(), np.int64, len(bow))
+        ws = np.fromiter(bow.values(), np.float64, len(bow))
+        order = np.argsort(ids)
+        return ids[order], ws[order]
 
     def add(self, view_id: int, bow: dict) -> None:
         self.bows[view_id] = bow
+        self._arrs[view_id] = self._to_arrays(bow)
         for w in bow:
             self.inverted[w].append(view_id)
 
     def erase(self, view_id: int) -> None:
         bow = self.bows.pop(view_id, None)
+        self._arrs.pop(view_id, None)
         if bow is None:
             return
         for w in bow:
@@ -46,6 +65,25 @@ class ViewDatabase:
                 self.inverted[w].remove(view_id)
             except ValueError:
                 pass
+
+    def _score_many(self, bow: dict, vids: list[int], score_fn) -> list[float]:
+        """Batched L1 scores through the native kernel when ``score_fn`` is
+        the stock L1 scorer; per-candidate Python fallback otherwise."""
+        if score_fn is _default_l1_score and vids:
+            from irotavg_tpu import native
+
+            q_ids, q_w = self._to_arrays(bow)
+            cands = [self._arrs[v] for v in vids]
+            c_off = np.zeros(len(cands) + 1, np.int64)
+            np.cumsum([len(c[0]) for c in cands], out=c_off[1:])
+            c_ids = np.concatenate([c[0] for c in cands]) if cands else \
+                np.zeros(0, np.int64)
+            c_w = np.concatenate([c[1] for c in cands]) if cands else \
+                np.zeros(0, np.float64)
+            out = native.bow_l1_scores(q_ids, q_w, c_ids, c_w, c_off)
+            if out is not None:
+                return [float(s) for s in out]
+        return [score_fn(bow, self.bows[v]) for v in vids]
 
     def find_views_sharing_words(self, bow: dict, exclude: set[int]):
         """view_id -> number of shared words, excluding `exclude`."""
@@ -71,14 +109,11 @@ class ViewDatabase:
         max_common = max(shared.values())
         min_common = max_common * 0.8
 
-        scores: dict[int, float] = {}
-        score_and_view = []
-        for vid, c in shared.items():
-            if c > min_common:
-                s = score_fn(bow, self.bows[vid])
-                scores[vid] = s
-                if s >= min_score:
-                    score_and_view.append((s, vid))
+        passing = [vid for vid, c in shared.items() if c > min_common]
+        batch = self._score_many(bow, passing, score_fn)
+        scores: dict[int, float] = dict(zip(passing, batch))
+        score_and_view = [(s, vid) for vid, s in zip(passing, batch)
+                          if s >= min_score]
         if not score_and_view:
             return []
 

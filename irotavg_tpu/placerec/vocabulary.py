@@ -121,22 +121,56 @@ class Vocabulary:
         import jax
 
         leaf, nid = jax.device_get((leaf, nid))  # one bundled fetch
+        return self._assemble(leaf, nid)
 
-        bow: dict[int, float] = {}
+    def _assemble(self, leaf, nid):
+        """Host assembly of (bow dict, feat_nodes) from descent results —
+        vectorised (np.unique/bincount), no per-descriptor Python loop."""
         ok = leaf >= 0
         wids = self.word_id[leaf[ok]]
         ws = self.weight[leaf[ok]]
-        for wid, w in zip(wids, ws):
-            if w > 0:
-                bow[int(wid)] = bow.get(int(wid), 0.0) + float(w)
-        total = sum(bow.values())
-        if total > 0:
-            bow = {k_: v / total for k_, v in bow.items()}
+        pos = ws > 0
+        bow: dict[int, float] = {}
+        if pos.any():
+            uids, inv = np.unique(wids[pos], return_inverse=True)
+            sums = np.bincount(inv, weights=ws[pos])
+            total = sums.sum()
+            if total > 0:
+                sums = sums / total
+            bow = dict(zip(uids.tolist(), sums.tolist()))
         # stopped words (weight 0) get no feature-vector entry either
         stopped = np.zeros(len(leaf), bool)
-        stopped[ok] = self.weight[leaf[ok]] <= 0
+        stopped[ok] = ws <= 0
         nid = np.where(stopped, -1, nid)
         return bow, nid.astype(np.int32)
+
+    def transform_batch(self, descs, valids=None, levelsup: int = 4):
+        """Batched transform over ``(B, N, 8)`` stacked descriptors.
+
+        One device program + one fetch for the whole batch (the descent is
+        per-descriptor, so frames flatten into one call); returns a list of
+        ``(bow, feat_nodes)`` pairs.  This is the throughput path the
+        reference's per-descriptor recursion cannot express
+        (TemplatedVocabulary.h:1126-1194).
+        """
+        descs = jnp.asarray(descs)
+        B, N = descs.shape[:2]
+        if valids is None:
+            valids = jnp.ones((B, N), bool)
+        else:
+            valids = jnp.asarray(valids)
+        nid_level = max(self.L - levelsup, 0)
+        leaf, nid = _descend(
+            descs.reshape(B * N, -1), valids.reshape(B * N),
+            self._children_j, self._node_desc_j, self._is_leaf_j,
+            self.L, nid_level,
+        )
+        import jax
+
+        leaf, nid = jax.device_get((leaf, nid))
+        leaf = leaf.reshape(B, N)
+        nid = nid.reshape(B, N)
+        return [self._assemble(leaf[b], nid[b]) for b in range(B)]
 
     # -- text IO (ORB-SLAM format) -----------------------------------------
 

@@ -157,7 +157,11 @@ def laplacian_diag(edges, coef, free_mask, edge_mask, n):
     d = jnp.zeros((n,), coef.dtype)
     d = d.at[edges[:, 0]].add(c)
     d = d.at[edges[:, 1]].add(c)
-    return jnp.where(free_mask, d, 1.0)
+    # guard d == 0 (a free node whose incident weights are all zero, e.g.
+    # Talwar marking every neighbour an outlier): unit diagonal keeps the
+    # preconditioner finite and, with rhs == 0 there, CG leaves the node at
+    # zero update — the minimum-norm behaviour of the reference's SPQR
+    return jnp.where(free_mask & (d > 0), d, 1.0)
 
 
 def laplacian_dense(edges, coef, free_mask, edge_mask, n, ridge=0.0):
@@ -180,6 +184,37 @@ def laplacian_dense(edges, coef, free_mask, edge_mask, n, ridge=0.0):
     L = L.at[j, i].add(jnp.where(both, -c, 0.0))
     fixed_diag = jnp.where(free_mask, ridge, 1.0)
     return L + jnp.diag(fixed_diag)
+
+
+def laplacian_cho_solve(edges, coef, rhs, free_mask, edge_mask, n, ridge=0.0):
+    """Dense Cholesky solve of ``(A' diag(coef) A) X = rhs`` with a
+    singularity rescue.
+
+    A window whose robust weights zero out every edge of a free node, or a
+    free component with no path to any fixed node, makes the Dirichlet
+    Laplacian singular; the reference aborts the process on the equivalent
+    UMFPACK failure (ral/l1_irls.cpp:149-177).  Here the factorisation is
+    attempted as-is and, only if it produced non-finite values, re-run with
+    a tiny relative Tikhonov shift on the free diagonal — unconstrained
+    directions then receive a (near) minimum-norm zero update instead of
+    NaNs, and well-posed solves stay bit-identical to the unshifted path.
+    """
+    L = laplacian_dense(edges, coef, free_mask, edge_mask, n, ridge=ridge)
+    X = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(L), rhs)
+
+    def rescue(_):
+        n_free = jnp.maximum(jnp.sum(free_mask), 1)
+        scale = jnp.sum(jnp.where(free_mask, jnp.diagonal(L), 0.0)) / n_free
+        eps = jnp.asarray(
+            1e-6 if L.dtype == jnp.float32 else 1e-10, L.dtype
+        )
+        shift = jnp.maximum(scale, 1.0) * eps
+        L2 = L + jnp.diag(jnp.where(free_mask, shift, 0.0))
+        X2 = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(L2), rhs)
+        return jnp.where(jnp.isfinite(X2), X2, 0.0)
+
+    ok = jnp.all(jnp.isfinite(X))
+    return jax.lax.cond(ok, lambda _: X, rescue, None)
 
 
 @partial(jax.jit, static_argnames=("maxiter",))

@@ -33,7 +33,7 @@ from irotavg_tpu.solver.graph import (
     incidence_matvec,
     incidence_rmatvec,
     laplacian_cg_solve,
-    laplacian_dense,
+    laplacian_cho_solve,
 )
 
 
@@ -146,11 +146,9 @@ def _solve_wls(g: RotationGraph, coef, rhs, cfg: IRLSConfig):
     """Solve ``(A' diag(coef) A) X = rhs`` over free nodes; X=0 on fixed."""
     free = g.free_mask()
     if cfg.backend == "dense":
-        L = laplacian_dense(
-            g.edges, coef, free, g.edge_mask, g.n, ridge=cfg.ridge
+        X = laplacian_cho_solve(
+            g.edges, coef, rhs, free, g.edge_mask, g.n, ridge=cfg.ridge
         )
-        cho = jax.scipy.linalg.cho_factor(L)
-        X = jax.scipy.linalg.cho_solve(cho, rhs)
         return jnp.where(free[:, None], X, 0.0)
     elif cfg.backend == "cg":
         X, _ = laplacian_cg_solve(

@@ -35,7 +35,7 @@ from irotavg_tpu.solver.graph import (
     incidence_matvec,
     incidence_rmatvec,
     laplacian_cg_solve,
-    laplacian_dense,
+    laplacian_cho_solve,
 )
 
 PDTOL = 1e-3  # ral/l1_irls.cpp:231
@@ -142,9 +142,8 @@ def _l1decode_pd_single(y, edges, free, emask, n, pd_iters, ridge,
         w1p = w1 - Atop((sig2 / sig1) * w2)
 
         if backend == "dense":
-            H = laplacian_dense(edges, sigx, free, emask, n, ridge=ridge)
-            dx = jax.scipy.linalg.cho_solve(
-                jax.scipy.linalg.cho_factor(H), w1p[:, None]
+            dx = laplacian_cho_solve(
+                edges, sigx, w1p[:, None], free, emask, n, ridge=ridge
             )[:, 0]
         else:  # matrix-free Jacobi-CG: O(m) per matvec, no n^2 Laplacian
             dx = laplacian_cg_solve(

@@ -74,6 +74,16 @@ def test_irls_matches_scipy_oracle():
         Q_ref, w_ref, it_ref, score_ref = ref_impl.irls(
             prob["QQ"], prob["edges"], A, cost_ref, SIGMA, Q0, f, 20, 1e-5
         )
+        if not np.isfinite(Q_ref).all():
+            # A cost that zeroes weights (e.g. Talwar) can make the normal
+            # equations singular; the oracle then NaNs and halts (the C++
+            # reference would abort, ral/l1_irls.cpp:149-177).  Our policy
+            # is never-NaN (solver/graph.py:laplacian_cho_solve), so exact
+            # parity is impossible past the singular iteration — assert the
+            # documented divergence instead (quality covered by
+            # test_solver_robust.py).
+            assert np.isfinite(np.array(Q)).all(), str(cost_jax)
+            continue
         assert int(iters) == it_ref, (cost_jax, int(iters), it_ref)
         np.testing.assert_allclose(
             np.array(Q), Q_ref, atol=1e-8, err_msg=str(cost_jax)
