@@ -1,17 +1,26 @@
-"""Benchmark: batch robust rotation averaging on the reference workload.
+"""Benchmark: rotation-averaging framework on the reference workloads.
 
-Runs the full batch pipeline (init_mst -> L1-RA -> IRLS, reference defaults:
-5 L1 iters, 50 IRLS iters, Geman-McClure sigma=5deg, th=1e-3 — see
-BASELINE.md) on the bundled real problem `ral/data/ravg_input.txt`
-(m=3655 edges, n=1832 views) and prints one JSON line.
+Emits ONE JSON line.  Sections (all on the session accelerator):
 
-Baseline: the C++ reference cannot be built in this image (no
-Eigen/SuiteSparse headers), so the baseline is the in-repo scipy oracle
-(tests/ref_impl.py) — the same algorithm over CPU sparse direct solves,
-i.e. the closest measurable stand-in for the reference's SuiteSparse path.
-vs_baseline = oracle_ms / tpu_ms (higher is better).
+* headline — batch robust solve (init_mst -> L1-RA -> IRLS, reference
+  defaults: 5 L1 iters, 50 IRLS iters, Geman-McClure sigma=5deg, th=1e-3)
+  on the bundled real problem (m=3655 edges, n=1832 views,
+  ral/data/ravg_input.txt), vs the in-repo scipy oracle (tests/ref_impl.py;
+  the C++ reference cannot be built here — no Eigen/SuiteSparse headers).
+  Reports iteration counts, per-rotation geodesic agreement with the
+  oracle's solution, and an XLA-cost-model MFU estimate.
+* large — cold 50k-view / 250k-edge synthetic solve through the matrix-free
+  CG backend (the quasi-global re-solve path, src/IRotAvg.cpp:371-378, at a
+  scale the reference's dense window never reaches), with enough noise and
+  outliers that the IRLS loop demonstrably iterates.
+* e2e — the offline SLAM pipeline (extract -> flow/keyframes -> window
+  pair RANSAC -> global solve) over a 100-frame synthetic sequence with
+  known ground-truth rotations (tests/seqgen.py, the KITTI stand-in per
+  BASELINE.md config 3): frames/s, per-stage seconds, rotation RMSE vs GT.
+  The reference's per-frame observable is src/IRotAvg.cpp:382-383.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -23,11 +32,11 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
-PROBLEM = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)),
-    "tests", "data", "ravg_input.txt.gz",
-)
+PROBLEM = os.path.join(REPO, "tests", "data", "ravg_input.txt.gz")
 REPS = 5
+# MXU peak of one TPU v5e chip (bf16); f32 work runs below this ceiling,
+# so the reported MFU is a conservative lower bound of hardware use.
+PEAK_FLOPS_BF16 = 197e12
 
 
 def load_problem():
@@ -50,71 +59,262 @@ def load_problem():
     return prob["edges"], prob["QQ"], Q0, f
 
 
-def main():
+def geo_deg(Qa, Qb):
+    d = np.abs(np.sum(np.asarray(Qa) * np.asarray(Qb), axis=-1))
+    return np.degrees(2.0 * np.arccos(np.clip(d, -1.0, 1.0)))
+
+
+def bench_headline():
+    """Reference workload: solve ms vs scipy oracle + solution agreement."""
     import jax
-
-    edges, QQ, Q0, f = load_problem()
-
-    # --- baseline: scipy sparse direct-solve oracle on host CPU ---------
-    import ref_impl as oracle
-
-    A = oracle.make_A(len(Q0), f, edges)
-    t0 = time.perf_counter()
-    Q_b, _, _ = oracle.l1ra(QQ, edges, A, Q0.copy(), f,
-                            max_iters=5, change_th=1e-3)
-    Q_b, w_b, _, _ = oracle.irls(QQ, edges, A, "Geman-McClure",
-                                 np.deg2rad(5.0), Q_b, f,
-                                 max_iters=50, change_th=1e-3)
-    baseline_ms = (time.perf_counter() - t0) * 1e3
-
-    # --- ours: jitted pipeline (f32 on the accelerator) -----------------
-    import dataclasses
-
     import jax.numpy as jnp
+    import ref_impl as oracle
     from irotavg_tpu import so3
     from irotavg_tpu.solver import RotationGraph, l1ra, irls
     from irotavg_tpu.solver.l1ra import L1RAConfig
     from irotavg_tpu.solver.irls import IRLSConfig
 
+    edges, QQ, Q0, f = load_problem()
+
+    # --- baseline: scipy sparse direct-solve oracle on host CPU ---------
+    A = oracle.make_A(len(Q0), f, edges)
+    t0 = time.perf_counter()
+    Q_b, l1_it_b, _ = oracle.l1ra(QQ, edges, A, Q0.copy(), f,
+                                  max_iters=5, change_th=1e-3)
+    Q_b, w_b, irls_it_b, _ = oracle.irls(QQ, edges, A, "Geman-McClure",
+                                         np.deg2rad(5.0), Q_b, f,
+                                         max_iters=50, change_th=1e-3)
+    baseline_ms = (time.perf_counter() - t0) * 1e3
+    Q_b = Q_b / np.linalg.norm(Q_b, axis=1, keepdims=True)
+
+    # --- ours: jitted pipeline (f32 on the accelerator) -----------------
+    # Timing methodology: the session TPU sits behind a network tunnel
+    # with a ~30 ms dispatch round trip, and the runtime can short-circuit
+    # *repeated identical* calls — so (a) every timed call gets a slightly
+    # perturbed input (1e-7 noise; same convergence behaviour), and (b)
+    # device time is isolated by running K solves back-to-back inside ONE
+    # program (lax.fori_loop with a traced trip count) and differencing
+    # K=1 vs K=1+REPS, which cancels the round trip exactly.
     g = RotationGraph.create(edges, QQ, Q0, f=f, dtype=jnp.float32)
     l1_cfg = L1RAConfig(max_iters=5, change_th=1e-3)
     irls_cfg = IRLSConfig(max_iters=50, change_th=1e-3, backend="dense")
 
     @jax.jit
     def pipeline(g):
-        Q1, _, _ = l1ra(g, l1_cfg)
-        Q2, w, _, _ = irls(dataclasses.replace(g, Q=Q1), irls_cfg)
-        return so3.qnormalize(Q2), w
+        Q1, l1_iters, _ = l1ra(g, l1_cfg)
+        Q2, w, irls_iters, _ = irls(dataclasses.replace(g, Q=Q1), irls_cfg)
+        return so3.qnormalize(Q2), w, l1_iters, irls_iters
 
-    Qf, w = pipeline(g)  # compile + warmup
+    Qf, w, l1_it, irls_it = pipeline(g)  # compile + warmup
     Qf.block_until_ready()
 
-    times = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        Qf, w = pipeline(g)
-        Qf.block_until_ready()
-        times.append((time.perf_counter() - t0) * 1e3)
-    ours_ms = float(np.median(times))
+    @jax.jit
+    def pipeline_k(g, reps):
+        def body(st):
+            k, acc = st
+            gk = dataclasses.replace(
+                g, Q=g.Q + (k + 1).astype(g.Q.dtype) * 1e-7
+            )
+            Qk, _, _, _ = pipeline(gk)
+            return k + 1, acc + Qk
+        _, acc = jax.lax.while_loop(
+            lambda st: st[0] < reps, body,
+            (jnp.asarray(0, jnp.int32), jnp.zeros_like(g.Q)),
+        )
+        return acc
 
-    # sanity: solution quality must match the oracle's
+    def timed(reps, rep_id):
+        # rep_id-dependent input defeats any identical-request caching
+        gr = dataclasses.replace(
+            g, Q=g.Q + jnp.asarray(rep_id * 1e-9, g.Q.dtype)
+        )
+        t0 = time.perf_counter()
+        np.asarray(pipeline_k(gr, jnp.asarray(reps, jnp.int32)))
+        return (time.perf_counter() - t0) * 1e3
+
+    timed(1, 0)  # warmup
+    t1 = [timed(1, 1 + r) for r in range(3)]
+    tk = [timed(1 + REPS, 10 + r) for r in range(3)]
+    ours_ms = float((np.median(tk) - np.median(t1)) / REPS)
+    roundtrip_ms = float(max(np.median(t1) - ours_ms, 0.0))
+
+    # solution quality: per-edge residual + per-rotation agreement with
+    # the oracle's converged solution (gauge-aligned at the fixed node)
     res = so3.log_map(so3.delta_rel(g.edges, g.QQ, Qf))[:, 3]
     mean_res_deg = float(np.degrees(np.abs(np.asarray(res))).mean())
     res_b = so3.log_map(so3.delta_rel(edges, QQ, jnp.asarray(Q_b)))[:, 3]
     oracle_res_deg = float(np.degrees(np.abs(np.asarray(res_b))).mean())
-    ok = mean_res_deg < max(2.0 * oracle_res_deg, 0.1)
+    gdeg = geo_deg(np.asarray(Qf), Q_b)
+    ok = (mean_res_deg < max(1.05 * oracle_res_deg, 0.05)
+          and float(gdeg.max()) < 0.5)
 
-    print(json.dumps({
-        "metric": "batch_ravg_solve_ms_m3655_n1832",
-        "value": round(ours_ms, 2),
-        "unit": "ms",
+    # MFU of the dominant kernel: the dense Cholesky factor+solve of the
+    # n x n Laplacian that sits inside every IRLS/Newton step (the MXU
+    # work; everything else in the solve is O(m) elementwise).  Measured
+    # directly (XLA's static cost model over-counts while_loops by their
+    # max trip count, which is meaningless for a convergence loop).
+    mfu = tflops = None
+    try:
+        from irotavg_tpu.solver.graph import laplacian_dense
+
+        free = g.free_mask()
+        coef = jnp.ones((g.m,), g.Q.dtype)
+        L = laplacian_dense(g.edges, coef, free, g.edge_mask, g.n)
+
+        reps = 50
+        eye = jnp.eye(g.n, dtype=g.Q.dtype)
+
+        @jax.jit
+        def chol_many(L, rhs):
+            # repetition stays on-device (one dispatch — a host-looped
+            # microbench here measures tunnel round-trip, not the kernel);
+            # the k-dependent shift stops XLA hoisting the factorisation
+            def body(k, X):
+                Lk = L + (k.astype(L.dtype) * 1e-7) * eye
+                return jax.scipy.linalg.cho_solve(
+                    jax.scipy.linalg.cho_factor(Lk), X)
+            return jax.lax.fori_loop(0, reps, body, rhs)
+
+        rhs = jnp.ones((g.n, 3), g.Q.dtype)
+        chol_many(L, rhs).block_until_ready()
+        t0 = time.perf_counter()
+        chol_many(L, rhs).block_until_ready()
+        dt = (time.perf_counter() - t0) / reps
+        n_ = g.n
+        flops = n_ ** 3 / 3 + 2 * 3 * n_ ** 2  # factor + 3-rhs triangular
+        tflops = flops / dt / 1e12
+        mfu = tflops * 1e12 / PEAK_FLOPS_BF16
+    except Exception:
+        pass
+
+    return {
+        "value": round(ours_ms, 3),
         "vs_baseline": round(baseline_ms / ours_ms, 3),
         "baseline_ms": round(baseline_ms, 1),
+        "dispatch_roundtrip_ms": round(roundtrip_ms, 1),
+        "l1_iters": int(l1_it),
+        "irls_iters": int(irls_it),
+        "oracle_l1_iters": int(l1_it_b),
+        "oracle_irls_iters": int(irls_it_b),
         "mean_residual_deg": round(mean_res_deg, 4),
         "oracle_residual_deg": round(oracle_res_deg, 4),
+        "vs_oracle_geodesic_max_deg": round(float(gdeg.max()), 4),
+        "vs_oracle_geodesic_mean_deg": round(float(gdeg.mean()), 5),
         "quality_ok": bool(ok),
+        "chol_kernel_tflops": None if tflops is None else round(tflops, 2),
+        "chol_kernel_mfu_bf16_peak": None if mfu is None else round(mfu, 4),
+    }
+
+
+def bench_large(n=50_000, m_extra=200_000):
+    """50k-view quasi-global re-solve through the matrix-free CG path (f32).
+
+    Warm start = GT perturbed by 3deg — the contract of the product path
+    that reaches this size (`rotAvg(5e6)` after loop closure refines the
+    already-near-optimal incremental state, src/IRotAvg.cpp:371-378).
+    Noise 3deg + 10% outliers + th=1e-4 keeps the IRLS while_loop busy
+    (>10 iterations) so this measures the loop, not dispatch.
+    """
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation as Rsc
+    from synth import make_problem
+    from irotavg_tpu import so3
+    from irotavg_tpu.solver import RotationGraph, irls
+    from irotavg_tpu.solver.irls import IRLSConfig
+
+    p = make_problem(n=n, extra_edges=m_extra, noise_deg=3.0,
+                     outlier_frac=0.1, seed=11)
+    rng = np.random.default_rng(12)
+    perturb = Rsc.from_rotvec(rng.normal(scale=np.radians(3.0), size=(n, 3)))
+    Q0 = (perturb * Rsc.from_quat(p["Q_gt"])).as_quat()
+    Q0[0] = p["Q_gt"][0]
+
+    g = RotationGraph.create(p["edges"], p["QQ"], Q0, f=1,
+                             dtype=jnp.float32)
+    cfg = IRLSConfig(max_iters=30, change_th=1e-4, backend="cg",
+                     cg_tol=1e-6, cg_maxiter=200)
+
+    Q, w, iters, score = irls(g, cfg)  # compile + warmup
+    Q.block_until_ready()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        Q, w, iters, score = irls(g, cfg)
+        Q.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    Qn = so3.qnormalize(Q)
+    err = geo_deg(Qn, p["Q_gt"])
+    return {
+        "n_views": n,
+        "n_edges": int(len(p["edges"])),
+        "solve_s": round(float(np.median(times)), 3),
+        "irls_iters": int(iters),
+        "mean_err_vs_gt_deg": round(float(err.mean()), 3),
+        "backend": "cg_f32",
+    }
+
+
+def bench_e2e(n_frames=100):
+    """Offline SLAM pipeline on a synthetic sequence with GT rotations."""
+    from scipy.spatial.transform import Rotation as Rsc
+    from seqgen import make_sequence
+    from irotavg_tpu.frontend.camera import Camera
+    from irotavg_tpu.frontend.orb import ORBExtractor
+    from irotavg_tpu.pipeline.offline import run_offline
+
+    frames, K, R_gt = make_sequence(n_frames=n_frames, seed=3, loop=True)
+    cam = Camera(fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2],
+                 width=640, height=480)
+    ext = ORBExtractor(n_features=1000, n_levels=8)
+
+    def once():
+        return run_offline(frames, cam, ext, vocab=None, batch=8,
+                           chunk=8, min_matches=40)
+
+    res = once()                    # cold: includes every compile
+    cold_s = res.stats["total_s"]
+    res = once()                    # warm: steady-state throughput
+    total_s = res.stats["total_s"]
+
+    Rs = Rsc.from_quat(np.array(res.Q))
+    gt = Rsc.from_matrix(np.array(R_gt[res.keyframes]))
+    rel = (Rs[0].inv() * Rs).inv() * (gt[0].inv() * gt)
+    err = rel.magnitude() * 180.0 / np.pi
+    stage_s = {k: round(v, 3) for k, v in res.stats.items()
+               if k.endswith("_s")}
+    return {
+        "frames": n_frames,
+        "keyframes": len(res.keyframes),
+        "edges": int(len(res.edges)),
+        "fps_warm": round(n_frames / total_s, 2),
+        "fps_cold": round(n_frames / cold_s, 2),
+        "stage_s": stage_s,
+        "irls_iters": int(res.stats.get("irls_iters", -1)),
+        "rotation_rmse_deg": round(float(np.sqrt((err ** 2).mean())), 4),
+        "rotation_max_err_deg": round(float(err.max()), 4),
+    }
+
+
+def main():
+    import jax
+    from irotavg_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    out = {
+        "metric": "batch_ravg_solve_ms_m3655_n1832",
+        "unit": "ms",
         "platform": jax.devices()[0].platform,
-    }))
+    }
+    head = bench_headline()
+    out["value"] = head.pop("value")
+    out["vs_baseline"] = head.pop("vs_baseline")
+    out.update(head)
+    for name, fn in (("large", bench_large), ("e2e", bench_e2e)):
+        try:
+            out[name] = fn()
+        except Exception as e:  # a failed section must not sink the line
+            out[name] = {"error": f"{type(e).__name__}: {e}"}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -10,6 +10,7 @@ TPU-native analogue of a distributed PCG.
 
 from irotavg_tpu.parallel.sharded import (  # noqa: F401
     GRAPH_AXIS,
+    init_multihost,
     make_graph_mesh,
     shard_graph,
     sharded_irls,

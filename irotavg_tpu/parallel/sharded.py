@@ -11,6 +11,34 @@ Partitioning scheme
   ``psum`` per matvec keeps every collective on ICI and avoids any gather
   of remote edge data.
 
+Memory model (why node replication scales)
+------------------------------------------
+Per device, the solver state is ``O(m/D)`` edge data + ``O(n)`` replicated
+node data, with n×(4 Q + 3 rhs + 4×3 CG vectors) ≈ 20 floats/node:
+
+  =========  =========  ==============  =====================
+  views n    edges m    edge shard f32  replicated node state
+  =========  =========  ==============  =====================
+  2 k        8 k        ~9 KB × D       ~160 KB
+  50 k       250 k      ~280 KB × D     ~4 MB
+  1 M        5 M        ~5.5 MB × D     ~80 MB
+  =========  =========  ==============  =====================
+
+Even the 1M-view global problem replicates well under one HBM percent per
+chip, so the ``psum``-everything design holds to far beyond BASELINE
+config 5 (50k views); node sharding would only matter past ~50M views.
+
+Multi-host
+----------
+For problems spanning hosts (DCN), call :func:`init_multihost` first (a
+thin `jax.distributed.initialize` wrapper), then build the mesh with
+``make_graph_mesh()`` — `jax.devices()` is the *global* device list in a
+multi-process run, and :func:`shard_graph` materialises only the shards a
+process can address (`jax.make_array_from_callback`).  The single ``psum``
+per CG matvec is XLA's hierarchical reduction: intra-slice hops ride ICI,
+one reduced block crosses DCN per host — exactly the layout the scaling
+recipe prescribes.
+
 This reproduces the semantics of the single-device solver in
 ``irotavg_tpu.solver.irls`` exactly (same masked math; the only difference
 is summation order), and is validated against it in
@@ -27,6 +55,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -37,8 +66,37 @@ from irotavg_tpu.solver.irls import Cost, IRLSConfig, update_weights
 GRAPH_AXIS = "graph"
 
 
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None, **kwargs):
+    """Join a multi-host run (DCN) and return (process_index, process_count).
+
+    Thin wrapper over ``jax.distributed.initialize``: with no arguments it
+    relies on the cluster environment (TPU pods auto-discover; GKE/SLURM
+    set the coordinator env vars).  Safe to call in a single-process run —
+    it becomes a no-op and returns ``(0, 1)``.  After this,
+    ``jax.devices()`` is the global device list and
+    :func:`make_graph_mesh` / :func:`shard_graph` span the whole pod.
+    """
+    already = jax.process_count() > 1
+    want_multi = (coordinator_address is not None
+                  or num_processes not in (None, 1)
+                  or "JAX_COORDINATOR_ADDRESS" in __import__("os").environ)
+    if want_multi and not already:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id, **kwargs
+        )
+    return jax.process_index(), jax.process_count()
+
+
 def make_graph_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """1-D mesh over the edge-parallel ``graph`` axis."""
+    """1-D mesh over the edge-parallel ``graph`` axis.
+
+    In a multi-process run (after :func:`init_multihost`) this spans every
+    device in the pod; devices are kept in default order so edge-block
+    neighbours are ICI neighbours and the ``psum`` crosses DCN once.
+    """
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
@@ -49,19 +107,29 @@ def make_graph_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 def shard_graph(g: RotationGraph, mesh: Mesh) -> RotationGraph:
     """Place a (pre-padded) graph on the mesh: edge arrays sharded on the
     leading axis, node arrays replicated.  ``g.m`` must divide evenly by the
-    mesh size (pad with masked edges first: ``g.pad_to``)."""
+    mesh size (pad with masked edges first: ``g.pad_to``).
+
+    Uses ``jax.make_array_from_callback`` so each process materialises only
+    its addressable shards — the same call works on one host and on a
+    multi-host mesh (where ``device_put`` of a host-global array would not).
+    """
     n_dev = mesh.shape[GRAPH_AXIS]
     if g.m % n_dev:
         raise ValueError(f"edge count {g.m} not divisible by mesh size {n_dev}")
     edge_sh = NamedSharding(mesh, P(GRAPH_AXIS))
     repl = NamedSharding(mesh, P())
+
+    def put(x, sh):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
     return RotationGraph(
-        edges=jax.device_put(g.edges, edge_sh),
-        QQ=jax.device_put(g.QQ, edge_sh),
-        Q=jax.device_put(g.Q, repl),
+        edges=put(g.edges, edge_sh),
+        QQ=put(g.QQ, edge_sh),
+        Q=put(g.Q, repl),
         f=jax.device_put(g.f, repl),
-        edge_mask=jax.device_put(g.edge_mask, edge_sh),
-        node_mask=jax.device_put(g.node_mask, repl),
+        edge_mask=put(g.edge_mask, edge_sh),
+        node_mask=put(g.node_mask, repl),
     )
 
 

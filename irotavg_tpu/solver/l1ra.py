@@ -35,7 +35,7 @@ from irotavg_tpu.solver.graph import (
     incidence_matvec,
     incidence_rmatvec,
     laplacian_cg_solve,
-    laplacian_cho_solve,
+    laplacian_dense,
 )
 
 PDTOL = 1e-3  # ral/l1_irls.cpp:231
@@ -142,9 +142,18 @@ def _l1decode_pd_single(y, edges, free, emask, n, pd_iters, ridge,
         w1p = w1 - Atop((sig2 / sig1) * w2)
 
         if backend == "dense":
-            dx = laplacian_cho_solve(
-                edges, sigx, w1p[:, None], free, emask, n, ridge=ridge
+            # No lax.cond rescue here: this function runs under a 3-axis
+            # vmap, where cond lowers to select and BOTH branches execute —
+            # a conditional re-factorisation would double the Cholesky work
+            # of every Newton step.  The never-NaN policy is kept by
+            # zeroing a non-finite solve instead (H = A'diag(sigx)A with
+            # sigx > 0 on real edges is singular only for a free node with
+            # no real edges, whose update is legitimately zero).
+            H = laplacian_dense(edges, sigx, free, emask, n, ridge=ridge)
+            dx = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(H), w1p[:, None]
             )[:, 0]
+            dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         else:  # matrix-free Jacobi-CG: O(m) per matvec, no n^2 Laplacian
             dx = laplacian_cg_solve(
                 edges, sigx, w1p[:, None], free, emask,
