@@ -21,12 +21,16 @@ fixed-sweep primitives that lower to elementwise ops and tiny matmuls:
   * triangulation: closed-form two-ray depth solve (2x2 normal equations,
     `_ray_depths`) instead of a per-point 4x4 DLT eigenproblem — this was
     the dominant cost (a (4, N) batch of eigh per recover_pose);
-  * the ONE iterative op kept is `eigh` on the (S, 9, 9) Gram matrices of
-    the 8-point solve: hypothesis quality at marginal RANSAC support
-    decides edge quality, and fixed-iteration null-vector solvers
-    (inverse/shifted power) lose the null direction on degenerate
-    samples.  Hartley normalisation — applied as an exact congruence on
-    the Gram matrix (`_eight_point`) — buys f32 eigh ~2 extra digits.
+  * minimal-sample 8-point null vectors: unrolled batched Householder QR
+    of the Hartley-normalised (8, 9) design (`_nullvec_qr8`) — exact for
+    rank-8 samples, pure VPU ops.  XLA's batched `eigh` lowers to an
+    `EighTpu` custom call costing ~60 ms per (4k, 9, 9) batch; it
+    dominated the whole pair-estimation program before this change.
+  * the ONE iterative op kept is `eigh` on the single per-pair (9, 9)
+    Gram matrix of the all-inlier refit (`_eight_point` + `_solve_gram`),
+    where the system is genuinely least-squares (rank > 8) and the batch
+    is tiny.  Hartley normalisation — applied as an exact congruence on
+    the Gram matrix — buys f32 eigh ~2 extra digits there.
 """
 
 from __future__ import annotations
@@ -45,28 +49,49 @@ DIST_THRESH = 50.0  # cv::recoverPose triangulated-distance cutoff
 
 
 def _jacobi_rotation(A, V, p: int, q: int):
-    """One batched Jacobi rotation zeroing A[..., p, q] (symmetric A)."""
+    """One batched Jacobi rotation zeroing A[..., p, q] (symmetric A).
+
+    The update is expressed as dense Givens products ``G^T A G`` / ``V G``
+    rather than `.at[].set()` column writes: each scatter lowers to a
+    dynamic-update-slice on TPU, and the 90 of them per eigensolve were
+    ~75% of the whole pair-estimation program's device time (measured
+    179 ms of a 206 ms while-loop).  The 3x3 einsums fuse to pure VPU
+    elementwise work.
+    """
     app = A[..., p, p]
     aqq = A[..., q, q]
     apq = A[..., p, q]
-    theta = 0.5 * jnp.arctan2(2.0 * apq, app - aqq)
-    c = jnp.cos(theta)[..., None]
-    s = jnp.sin(theta)[..., None]
-    # G = I with G[p,p]=c, G[q,q]=c, G[p,q]=-s, G[q,p]=s ; A <- G^T A G
-    Ap = A[..., :, p]
-    Aq = A[..., :, q]
-    Ap_new = c * Ap + s * Aq
-    Aq_new = -s * Ap + c * Aq
-    A = A.at[..., :, p].set(Ap_new).at[..., :, q].set(Aq_new)
-    Ap = A[..., p, :]
-    Aq = A[..., q, :]
-    Ap_new = c * Ap + s * Aq
-    Aq_new = -s * Ap + c * Aq
-    A = A.at[..., p, :].set(Ap_new).at[..., q, :].set(Aq_new)
-    Vp = V[..., :, p]
-    Vq = V[..., :, q]
-    V = V.at[..., :, p].set(c * Vp + s * Vq)
-    V = V.at[..., :, q].set(-s * Vp + c * Vq)
+    # algebraic Givens parameters (Golub & Van Loan 8.4): no arctan2/sin/
+    # cos — the transcendental path was another ~25 ms per program here
+    nz = jnp.abs(apq) > 1e-30
+    tau = (aqq - app) / (2.0 * jnp.where(nz, apq, 1.0))
+    t = -jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    # sign(0) = 0 would freeze the |tau|=0 case; pick a root there
+    # (t sign matches this file's G layout: G[p,q] = -s, G[q,p] = s)
+    t = jnp.where(tau == 0, 1.0, t)
+    t = jnp.where(nz, t, 0.0)
+    c = jax.lax.rsqrt(1.0 + t * t)
+    s = t * c
+    one = jnp.ones_like(c)
+    zero = jnp.zeros_like(c)
+    # G = I with G[p,p]=c, G[q,q]=c, G[p,q]=-s, G[q,p]=s (p, q static)
+    rows = []
+    for i in range(3):
+        row = []
+        for j in range(3):
+            if i == j:
+                row.append(c if i in (p, q) else one)
+            elif (i, j) == (p, q):
+                row.append(-s)
+            elif (i, j) == (q, p):
+                row.append(s)
+            else:
+                row.append(zero)
+        rows.append(jnp.stack(row, axis=-1))
+    G = jnp.stack(rows, axis=-2)
+    hp = jax.lax.Precision.HIGHEST
+    A = jnp.einsum("...ji,...jk,...kl->...il", G, A, G, precision=hp)
+    V = jnp.einsum("...ij,...jk->...ik", V, G, precision=hp)
     return A, V
 
 
@@ -242,13 +267,87 @@ def _eight_point(p1, p2, weights):
     return _solve_gram(AtA)
 
 
+def _nullvec_qr8(A):
+    """Exact null direction of batched (..., 8, 9) design matrices via an
+    unrolled Householder QR of A^T.
+
+    Every operation is an elementwise/broadcast op over the batch — no
+    iterative eigensolver.  XLA's batched 9x9 ``eigh`` on TPU lowers to an
+    `EighTpu` custom call costing ~60 ms per (4k, 9, 9) batch (measured:
+    it was 65% of the whole pair-estimation program); this closed form is
+    exact for rank-8 samples and runs on the VPU in microseconds.
+
+    Rank-deficient samples get *a* unit vector from the null space —
+    the same arbitrary-direction contract a float eigh gives — and the
+    garbage E they produce is voted out by RANSAC exactly as before.
+    """
+    M = jnp.swapaxes(A, -1, -2)                  # (..., 9, 8)
+    dt = A.dtype
+    eye9 = jnp.eye(9, dtype=dt)
+    us = []
+    for k in range(8):
+        col = M[..., :, k]
+        v = jnp.where(jnp.arange(9) >= k, col, jnp.zeros_like(col))
+        alpha = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+        sgn = jnp.where(v[..., k:k + 1] >= 0, 1.0, -1.0).astype(dt)
+        u = v + sgn * alpha * eye9[k]
+        nrm = jnp.sqrt(jnp.sum(u * u, axis=-1, keepdims=True))
+        # degenerate column (alpha ~ 0): fall back to the identity-like
+        # reflection about e_k — keeps H orthogonal, null vector arbitrary
+        u = jnp.where(nrm > 1e-20, u / jnp.maximum(nrm, 1e-20), eye9[k])
+        us.append(u)
+        proj = jnp.einsum("...i,...ij->...j", u, M,
+                          precision=jax.lax.Precision.HIGHEST)
+        M = M - 2.0 * u[..., :, None] * proj[..., None, :]
+    # null vector = Q e9 = H1 H2 ... H8 e9 (Q's 9th column)
+    e = jnp.broadcast_to(eye9[8], us[0].shape)
+    for u in reversed(us):
+        e = e - 2.0 * u * jnp.sum(u * e, axis=-1, keepdims=True)
+    return e
+
+
 def _eight_point_samples(p1, p2, idx):
-    """Minimal-sample 8-point solve for ``idx (S, 8)`` index draws:
-    gather the 8 outer-product rows per sample and sum — (S, 8, 81) is the
-    only intermediate."""
-    A2 = _design_sq(p1, p2)
-    AtA = jnp.sum(A2[idx], axis=-2).reshape(idx.shape[:-1] + (9, 9))
-    return _solve_gram(AtA)
+    """Minimal-sample 8-point solve for ``idx (S, 8)`` index draws.
+
+    Gathers the 8 correspondences per sample, Hartley-normalises them
+    per sample (centroid to origin, RMS radius sqrt(2) — same
+    conditioning contract as `_solve_gram`), and extracts the null
+    direction of the 8x9 design by the closed-form Householder QR above.
+    Returns (..., 3, 3) E candidates (unprojected, unnormalised coords).
+    """
+    hp = jax.lax.Precision.HIGHEST
+    q1 = p1[idx]                                  # (S, 8, 2)
+    q2 = p2[idx]
+
+    def norm_pts(q):
+        c = jnp.mean(q, axis=-2, keepdims=True)
+        var = jnp.mean(jnp.sum((q - c) ** 2, axis=-1), axis=-1)
+        s = jnp.sqrt(2.0 / jnp.maximum(var, 1e-12))[..., None, None]
+        return (q - c) * s, c[..., 0, :], s[..., 0, 0]
+
+    q1n, c1, s1 = norm_pts(q1)
+    q2n, c2, s2 = norm_pts(q2)
+    x1, y1 = q1n[..., 0], q1n[..., 1]
+    x2, y2 = q2n[..., 0], q2n[..., 1]
+    rows = jnp.stack(
+        [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1,
+         jnp.ones_like(x1)], axis=-1)             # (S, 8, 9)
+    e_n = _nullvec_qr8(rows)
+    En = e_n.reshape(e_n.shape[:-1] + (3, 3))
+    # denormalise: x2h'^T En x1h' = x2h^T (T2^T En T1) x1h
+    def T_of(c, s):
+        z = jnp.zeros_like(s)
+        o = jnp.ones_like(s)
+        return jnp.stack([
+            jnp.stack([s, z, -s * c[..., 0]], -1),
+            jnp.stack([z, s, -s * c[..., 1]], -1),
+            jnp.stack([z, z, o], -1),
+        ], axis=-2)
+    T1 = T_of(c1, s1)
+    T2 = T_of(c2, s2)
+    E = jnp.einsum("...ji,...jk,...kl->...il", T2, En, T1, precision=hp)
+    nrm = jnp.sqrt(jnp.sum(E * E, axis=(-2, -1), keepdims=True))
+    return E / jnp.maximum(nrm, 1e-30)
 
 
 def _project_essential(E):
@@ -312,7 +411,11 @@ def ransac_essential(p1, p2, valid, key, *, th_norm, n_samples=1024,
     cs = jnp.cumsum(valid.astype(jnp.int32))
     nv = jnp.maximum(cs[-1], 1)
     ranks = jax.random.randint(key, (n_samples, 8), 0, nv)
-    idx = jnp.searchsorted(cs, ranks + 1)       # (S, 8) valid positions
+    # rank -> position: count of cumsum entries <= rank.  One dense
+    # compare-reduce (S*8 x N on the VPU) instead of jnp.searchsorted,
+    # whose binary-search while_loop + scatter lowering dominated the
+    # non-eigh time of this function on TPU.
+    idx = jnp.sum(cs[None, None, :] <= ranks[..., None], axis=-1)
 
     E_cand = _eight_point_samples(p1, p2, idx)  # (S, 3, 3)
     E_cand = _project_essential(E_cand)

@@ -78,11 +78,13 @@ def init_multihost(coordinator_address: str | None = None,
     ``jax.devices()`` is the global device list and
     :func:`make_graph_mesh` / :func:`shard_graph` span the whole pod.
     """
-    already = jax.process_count() > 1
+    # Decide from the arguments/environment ONLY: jax.process_count()
+    # initialises the XLA backend, after which jax.distributed.initialize
+    # raises ("initialize() must be called before any JAX calls ...").
     want_multi = (coordinator_address is not None
                   or num_processes not in (None, 1)
                   or "JAX_COORDINATOR_ADDRESS" in __import__("os").environ)
-    if want_multi and not already:
+    if want_multi and not jax.distributed.is_initialized():
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id, **kwargs

@@ -127,6 +127,9 @@ def run_offline(images, camera, extractor, *, vocab=None,
     vm_unpack = jax.jit(jax.vmap(unpack_pm1))
     flows = np.zeros(B - 1, np.float32)
     counts = np.zeros(B - 1, np.int32)
+    # queue every chunk, fetch once: dispatch is async, so the host never
+    # blocks mid-stage on the device round trip
+    pending = []
     for lo, hi in _chunks(B - 1, chunk):
         ia = np.arange(lo, hi)
         pad = chunk - (hi - lo)
@@ -134,12 +137,13 @@ def run_offline(images, camera, extractor, *, vocab=None,
         iaj = jnp.asarray(ia)
         ibj = jnp.asarray(ia + 1)
         bitsB = vm_unpack(desc[ibj])
-        fl, ct = fused_flow(
+        pending.append((lo, hi, fused_flow(
             vm_unpack(desc[iaj]), valid[iaj], octave[iaj], x[iaj], y[iaj],
             jnp.swapaxes(bitsB, 1, 2), valid[ibj], octave[ibj],
             x[ibj], y[ibj], jnp.float32(90.0),
-        )
-        fl, ct = jax.device_get((fl, ct))
+        )))
+    for lo, hi, out in pending:
+        fl, ct = jax.device_get(out)
         flows[lo:hi] = fl[: hi - lo]
         counts[lo:hi] = ct[: hi - lo]
     # greedy thinning on accumulated flow (keyframe gate parity: 5 px)
@@ -181,12 +185,18 @@ def run_offline(images, camera, extractor, *, vocab=None,
     th_norm = jnp.float32(1.0 / camera.fx)
 
     def estimate_pairs(pair_arr, rad_arr, key0):
-        """Chunked fused_pair_estimate over (P, 2) keyframe-index pairs."""
+        """Chunked fused_pair_estimate over (P, 2) keyframe-index pairs.
+
+        All chunks are dispatched back-to-back and fetched once at the
+        end: with a synchronous per-chunk ``device_get`` the ~30 ms
+        tunnel round trip serialised with compute and dominated the
+        stage (measured 82% of e2e wall time in BENCH_r02)."""
         P = len(pair_arr)
         Es = np.zeros((P, 3, 3), np.float32)
         Rs = np.zeros((P, 3, 3), np.float32)
         ns = np.zeros(P, np.int32)
         succ = np.zeros(P, bool)
+        pending = []
         for lo, hi in _chunks(P, chunk):
             sel = np.arange(lo, hi)
             pad = chunk - (hi - lo)
@@ -194,14 +204,15 @@ def run_offline(images, camera, extractor, *, vocab=None,
             ia = jnp.asarray(kf[pair_arr[sel, 0]])
             ib = jnp.asarray(kf[pair_arr[sel, 1]])
             bitsB = vm_unpack(desc[ib])
-            out = fused_pair_estimate(
+            pending.append((lo, hi, fused_pair_estimate(
                 vm_unpack(desc[ia]), valid[ia], octave[ia],
                 x[ia], y[ia], angle[ia],
                 jnp.swapaxes(bitsB, 1, 2), valid[ib], octave[ib],
                 x[ib], y[ib], angle[ib],
                 jnp.asarray(rad_arr[sel]), K_inv, sigma2, camv, th_norm,
                 jax.random.key(key0 + lo), jnp.int32(min_matches),
-            )
+            )))
+        for lo, hi, out in pending:
             E, R, t, n_che, m12, success = jax.device_get(out)
             m = hi - lo
             Es[lo:hi] = E[:m]
@@ -226,7 +237,9 @@ def run_offline(images, camera, extractor, *, vocab=None,
         ns[ridx] = ns2[succ2]
         succ[ridx] = True
     edges = pairs[succ]
-    QQ = np.stack([np.asarray(so3.rotmat_to_quat(R)) for R in Rs[succ]])
+    # one batched conversion (a per-edge loop here is one device dispatch
+    # per edge — hundreds of tunnel round trips)
+    QQ = np.asarray(so3.rotmat_to_quat(jnp.asarray(Rs[succ])))
     n_matches = ns[succ]
     stats["pairs_s"] = time.perf_counter() - t0
     stats["pairs_total"] = len(pairs)
@@ -330,9 +343,7 @@ def run_offline(images, camera, extractor, *, vocab=None,
             _, Rs2, ns2, succ2 = estimate_pairs(cp, rad, seed + 104729)
             ok = succ2 & (ns2 >= cfg.loop.min_matches)
             if ok.any():
-                QQ2 = np.stack([
-                    np.asarray(so3.rotmat_to_quat(R)) for R in Rs2[ok]
-                ])
+                QQ2 = np.asarray(so3.rotmat_to_quat(jnp.asarray(Rs2[ok])))
                 edges = np.concatenate([edges, cp[ok]])
                 QQ = np.concatenate([QQ, QQ2])
                 n_matches = np.concatenate([n_matches, ns2[ok]])

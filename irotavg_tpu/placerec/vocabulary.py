@@ -233,20 +233,58 @@ class Vocabulary:
     def save_text(self, path: str) -> None:
         n1 = SCORING_NAMES.index(self.scoring)
         n2 = WEIGHTING_NAMES.index(self.weighting)
-        parent = np.zeros(len(self.children), np.int32)
-        for p, ch in enumerate(self.children):
-            for c in ch:
-                if c >= 0:
-                    parent[c] = p
+        n_nodes = len(self.children)
+        # vectorised parent table (a python double loop is minutes at the
+        # real ORB vocabulary's ~1M nodes)
+        parent = np.zeros(n_nodes, np.int32)
+        mask = self.children >= 0
+        parent[self.children[mask]] = np.repeat(
+            np.arange(n_nodes, dtype=np.int32), mask.sum(axis=1)
+        )
         all_bytes = _words_to_bytes(self.node_desc)
         with open(path, "w") as fh:
             fh.write(f"{self.k} {self.L} {n1} {n2}\n")
-            for i in range(1, len(self.children)):
+            for i in range(1, n_nodes):
                 db = " ".join(str(int(v)) for v in all_bytes[i])
                 fh.write(
                     f"{parent[i]} {1 if self.is_leaf[i] else 0} {db} "
                     f"{self.weight[i]:.6g}\n"
                 )
+
+
+def make_random_vocabulary(k: int = 10, L: int = 5, seed: int = 0,
+                           scoring: str = "L1",
+                           weighting: str = "TF_IDF") -> Vocabulary:
+    """Complete k-ary tree of depth L with random descriptors — the
+    real-scale stand-in for the 1M-node ORB-SLAM vocabulary
+    (TemplatedVocabulary.h:1337-1424; k=10, L=6 there).  k=10/L=5 gives
+    100k words / 111k nodes, enough to exercise the parser, the level-
+    synchronous descent, and the scoring cascade at production shape
+    without shipping a 145 MB file.
+    """
+    rng = np.random.default_rng(seed)
+    level_sizes = [k ** d for d in range(L + 1)]       # nodes per level
+    n_nodes = sum(level_sizes)
+    children = np.full((n_nodes, k), -1, np.int32)
+    first = np.cumsum([0] + level_sizes)               # first node per level
+    for d in range(L):                                  # internal levels
+        p0, p1 = first[d], first[d + 1]
+        c0 = first[d + 1]
+        n_p = p1 - p0
+        children[p0:p1] = (
+            c0 + np.arange(n_p * k, dtype=np.int32).reshape(n_p, k)
+        )
+    node_desc = rng.integers(0, 2 ** 32, (n_nodes, 8), dtype=np.uint64
+                             ).astype(np.uint32)
+    node_desc[0] = 0
+    is_leaf = np.zeros(n_nodes, bool)
+    is_leaf[first[L]:] = True
+    weight = np.zeros(n_nodes, np.float64)
+    weight[is_leaf] = rng.uniform(0.1, 3.0, level_sizes[L])
+    word_id = np.full(n_nodes, -1, np.int32)
+    word_id[is_leaf] = np.arange(level_sizes[L], dtype=np.int32)
+    return Vocabulary(k, L, children, node_desc, weight, word_id, is_leaf,
+                      scoring=scoring, weighting=weighting)
 
 
 # -- training ---------------------------------------------------------------

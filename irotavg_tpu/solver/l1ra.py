@@ -146,9 +146,14 @@ def _l1decode_pd_single(y, edges, free, emask, n, pd_iters, ridge,
             # vmap, where cond lowers to select and BOTH branches execute —
             # a conditional re-factorisation would double the Cholesky work
             # of every Newton step.  The never-NaN policy is kept by
-            # zeroing a non-finite solve instead (H = A'diag(sigx)A with
+            # zeroing a non-finite solve instead.  H = A'diag(sigx)A with
             # sigx > 0 on real edges is singular only for a free node with
-            # no real edges, whose update is legitimately zero).
+            # no real edges — but note the blast radius: a NaN pivot
+            # contaminates all later-ordered rows of the factor, so dx is
+            # zeroed for every healthy node ordered after it too, stalling
+            # them for that one Newton step (they resume next iteration).
+            # Windows produced by the incremental engine are connected, so
+            # this path only fires on malformed standalone problems.
             H = laplacian_dense(edges, sigx, free, emask, n, ridge=ridge)
             dx = jax.scipy.linalg.cho_solve(
                 jax.scipy.linalg.cho_factor(H), w1p[:, None]
