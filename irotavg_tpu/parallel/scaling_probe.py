@@ -1,0 +1,144 @@
+"""Device-scaling probe for the edge-sharded distributed solver.
+
+Runs the SAME fixed-work distributed IRLS solve (fixed outer iterations,
+fixed CG budget, convergence tests disabled) over 1/2/4/8-device meshes
+and reports wall time per device count.  This is the scaling artifact for
+BASELINE.md config 5; the serial counterpart it replaces is the
+single-threaded SuiteSparse factorisation (ral/l1_irls.cpp:536-556).
+
+Interpretation depends on where it runs:
+
+* On real chips (a TPU slice), ``t_D`` falling near-linearly is the
+  scaling-efficiency claim itself.
+* On a virtual CPU mesh (``--xla_force_host_platform_device_count``),
+  all "devices" timeshare the same physical cores, so wall time CANNOT
+  drop with D.  What the curve shows there is the *overhead* of the
+  distributed program: total work is constant (the edge shards sum to
+  the same m), so ``t_D / t_1`` measures everything the sharding adds —
+  psum collectives, per-shard dispatch, partition bookkeeping.
+  ``t_D ≈ t_1`` (work conservation ~1) is the necessary condition for
+  near-linear scaling on hardware where the shards really run in
+  parallel; large ``t_D / t_1`` would expose a collective bottleneck.
+
+Usage (as spawned by bench.py):
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    python -m irotavg_tpu.parallel.scaling_probe --platform cpu \
+        --n 50000 --extra-edges 200000 --devices 1,2,4,8
+
+Prints one JSON object to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (the session pins a TPU "
+                         "tunnel via sitecustomize; pass 'cpu' to override)")
+    ap.add_argument("--n", type=int, default=50_000)
+    ap.add_argument("--extra-edges", type=int, default=200_000)
+    ap.add_argument("--devices", default="1,2,4,8")
+    ap.add_argument("--outer-iters", type=int, default=6)
+    ap.add_argument("--cg-iters", type=int, default=40)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+
+    from irotavg_tpu.parallel.sharded import (
+        make_graph_mesh, shard_graph, sharded_irls,
+    )
+    from irotavg_tpu.solver.graph import RotationGraph
+    from irotavg_tpu.solver.irls import IRLSConfig
+
+    # synthetic problem (same generator family as tests/synth.py, inlined
+    # so the probe is importable outside the test tree)
+    rng = np.random.default_rng(11)
+    n, m_extra = args.n, args.extra_edges
+    from scipy.spatial.transform import Rotation as Rsc
+
+    R_gt = Rsc.from_rotvec(rng.normal(scale=0.5, size=(n, 3)))
+    chain = np.stack([np.arange(n - 1), np.arange(1, n)], 1)
+    ii = rng.integers(0, n - 3, m_extra)
+    jj = ii + rng.integers(2, 50, m_extra)
+    jj = np.minimum(jj, n - 1)
+    edges = np.concatenate([chain, np.stack([ii, jj], 1)]).astype(np.int32)
+    Rrel = R_gt[edges[:, 1]] * R_gt[edges[:, 0]].inv()
+    noise = Rsc.from_rotvec(rng.normal(scale=np.radians(3.0),
+                                       size=(len(edges), 3)))
+    QQ = (noise * Rrel).as_quat()
+    pert = Rsc.from_rotvec(rng.normal(scale=np.radians(3.0), size=(n, 3)))
+    Q0 = (pert * R_gt).as_quat()
+    Q0[0] = R_gt[0].as_quat()
+
+    # fixed work: convergence checks off (change_th=0 -> run max_iters;
+    # cg_tol=0 -> run cg_maxiter) so every device count executes an
+    # identical instruction stream
+    cfg = IRLSConfig(max_iters=args.outer_iters, change_th=0.0,
+                     backend="cg", cg_tol=0.0, cg_maxiter=args.cg_iters)
+
+    avail = len(jax.devices())
+    counts = [int(d) for d in args.devices.split(",") if int(d) <= avail]
+    results = {}
+    lcm = max(counts)
+    m_pad = ((len(edges) + lcm - 1) // lcm) * lcm
+    g0 = RotationGraph.create(edges, QQ, Q0, f=1,
+                              dtype="float32").pad_to(m_pad, n)
+
+    for d in counts:
+        mesh = make_graph_mesh(d)
+        g = shard_graph(g0, mesh)
+        solve = sharded_irls(mesh, cfg)
+        Q, w, iters, score = solve(g)   # compile + warmup
+        Q.block_until_ready()
+        times = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            Q, w, iters, score = solve(g)
+            Q.block_until_ready()
+            times.append(time.perf_counter() - t0)
+        results[d] = {
+            "solve_s": round(float(np.median(times)), 3),
+            "iters": int(iters),
+        }
+
+    t1 = results[counts[0]]["solve_s"]
+    for d in counts:
+        td = results[d]["solve_s"]
+        results[d]["speedup_vs_1dev"] = round(t1 / td, 3)
+        results[d]["parallel_efficiency"] = round(t1 / (d * td), 3)
+        # constant-work ratio: ~1.0 means the distributed program adds no
+        # overhead over the 1-device run (see module docstring)
+        results[d]["work_conservation"] = round(t1 / td, 3)
+
+    out = {
+        "platform": jax.devices()[0].platform,
+        "physical_cores_note": (
+            "virtual CPU devices timeshare host cores; see module doc"
+            if jax.devices()[0].platform == "cpu" else ""
+        ),
+        "n_views": n,
+        "n_edges": int(len(edges)),
+        "outer_iters": args.outer_iters,
+        "cg_iters_per_outer": args.cg_iters,
+        "by_devices": {str(k): v for k, v in results.items()},
+    }
+    json.dump(out, sys.stdout)
+    print()
+
+
+if __name__ == "__main__":
+    main()
