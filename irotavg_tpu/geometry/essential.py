@@ -350,6 +350,196 @@ def _eight_point_samples(p1, p2, idx):
     return E / jnp.maximum(nrm, 1e-30)
 
 
+def _homography_samples(p1, p2, idx):
+    """Minimal 4-point DLT homographies for ``idx (S, 4)`` index draws.
+
+    Same construction discipline as `_eight_point_samples`: gather, Hartley-
+    normalise per sample, null vector of the (8, 9) design via the
+    closed-form Householder QR, denormalise.  Returns (..., 3, 3) H with
+    ``x2h ~ H x1h`` in normalised camera coordinates.
+    """
+    q1 = p1[idx]                                  # (S, 4, 2)
+    q2 = p2[idx]
+
+    def norm_pts(q):
+        c = jnp.mean(q, axis=-2, keepdims=True)
+        var = jnp.mean(jnp.sum((q - c) ** 2, axis=-1), axis=-1)
+        s = jnp.sqrt(2.0 / jnp.maximum(var, 1e-12))[..., None, None]
+        return (q - c) * s, c[..., 0, :], s[..., 0, 0]
+
+    q1n, c1, s1 = norm_pts(q1)
+    q2n, c2, s2 = norm_pts(q2)
+    x1, y1 = q1n[..., 0], q1n[..., 1]
+    x2, y2 = q2n[..., 0], q2n[..., 1]
+    z = jnp.zeros_like(x1)
+    o = jnp.ones_like(x1)
+    ra = jnp.stack([x1, y1, o, z, z, z, -x2 * x1, -x2 * y1, -x2], axis=-1)
+    rb = jnp.stack([z, z, z, x1, y1, o, -y2 * x1, -y2 * y1, -y2], axis=-1)
+    A = jnp.concatenate([ra, rb], axis=-2)        # (S, 8, 9)
+    h = _nullvec_qr8(A)
+    Hn = h.reshape(h.shape[:-1] + (3, 3))
+
+    # denormalise: x2h ~ T2^-1 Hn T1 x1h
+    def T_of(c, s):
+        zz = jnp.zeros_like(s)
+        oo = jnp.ones_like(s)
+        return jnp.stack([
+            jnp.stack([s, zz, -s * c[..., 0]], -1),
+            jnp.stack([zz, s, -s * c[..., 1]], -1),
+            jnp.stack([zz, zz, oo], -1),
+        ], axis=-2)
+
+    def T_inv_of(c, s):
+        zz = jnp.zeros_like(s)
+        oo = jnp.ones_like(s)
+        si = 1.0 / s
+        return jnp.stack([
+            jnp.stack([si, zz, c[..., 0]], -1),
+            jnp.stack([zz, si, c[..., 1]], -1),
+            jnp.stack([zz, zz, oo], -1),
+        ], axis=-2)
+
+    hp = jax.lax.Precision.HIGHEST
+    H = jnp.einsum("...ij,...jk,...kl->...il", T_inv_of(c2, s2), Hn,
+                   T_of(c1, s1), precision=hp)
+    nrm = jnp.sqrt(jnp.sum(H * H, axis=(-2, -1), keepdims=True))
+    return H / jnp.maximum(nrm, 1e-30)
+
+
+def _homography_ls(p1, p2, w):
+    """Weighted least-squares homography over all N correspondences.
+
+    ``w (N,)`` weights (the RANSAC inlier mask); Hartley-normalises with
+    the weighted moments, solves the 9x9 Gram eigenproblem, denormalises.
+    This is the accuracy step a minimal 4-point H lacks: the decomposed
+    motion inherits the fit's noise, so decomposition must run on an
+    all-inlier fit, not a minimal sample.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    sw = jnp.maximum(jnp.sum(w), 1e-12)
+
+    def norm_pts(q):
+        c = jnp.einsum("n,nk->k", w, q, precision=hp) / sw
+        d = q - c
+        var = jnp.einsum("n,n->", w, jnp.sum(d * d, axis=-1),
+                         precision=hp) / sw
+        s = jnp.sqrt(2.0 / jnp.maximum(var, 1e-12))
+        return d * s, c, s
+
+    q1, c1, s1 = norm_pts(p1)
+    q2, c2, s2 = norm_pts(p2)
+    x1, y1 = q1[:, 0], q1[:, 1]
+    x2, y2 = q2[:, 0], q2[:, 1]
+    z = jnp.zeros_like(x1)
+    o = jnp.ones_like(x1)
+    ra = jnp.stack([x1, y1, o, z, z, z, -x2 * x1, -x2 * y1, -x2], axis=-1)
+    rb = jnp.stack([z, z, z, x1, y1, o, -y2 * x1, -y2 * y1, -y2], axis=-1)
+    AtA = (jnp.einsum("ni,n,nj->ij", ra, w, ra, precision=hp)
+           + jnp.einsum("ni,n,nj->ij", rb, w, rb, precision=hp))
+    h = jnp.linalg.eigh(AtA)[1][..., :, 0]
+    Hn = h.reshape(3, 3)
+    si1 = jnp.stack([
+        jnp.stack([s1, z[0], -s1 * c1[0]], -1),
+        jnp.stack([z[0], s1, -s1 * c1[1]], -1),
+        jnp.stack([z[0], z[0], o[0]], -1),
+    ], axis=-2)
+    si2inv = jnp.stack([
+        jnp.stack([1.0 / s2, z[0], c2[0]], -1),
+        jnp.stack([z[0], 1.0 / s2, c2[1]], -1),
+        jnp.stack([z[0], z[0], o[0]], -1),
+    ], axis=-2)
+    H = jnp.einsum("ij,jk,kl->il", si2inv, Hn, si1, precision=hp)
+    nrm = jnp.sqrt(jnp.sum(H * H))
+    return H / jnp.maximum(nrm, 1e-30)
+
+
+def _transfer_inliers(H, p1, p2, valid, th2):
+    """Forward-transfer inlier mask per homography: ``|Hx1/z − x2|² < th2``."""
+    hp = jax.lax.Precision.HIGHEST
+    x1h = jnp.concatenate([p1, jnp.ones_like(p1[:, :1])], axis=1)  # (N, 3)
+    y = jnp.einsum("...ij,nj->...ni", H, x1h, precision=hp)        # (..., N, 3)
+    zok = jnp.abs(y[..., 2]) > 1e-8
+    zsafe = jnp.where(zok, y[..., 2], 1.0)
+    e = y[..., :2] / zsafe[..., None] - p2
+    d2 = jnp.sum(e * e, axis=-1)
+    return zok & (d2 < th2) & valid
+
+
+def _transfer_support(H, p1, p2, valid, th2):
+    return jnp.sum(_transfer_inliers(H, p1, p2, valid, th2), axis=-1)
+
+
+def _decompose_homography(H):
+    """Faugeras-Lustman decomposition of a calibrated homography
+    ``H ~ R + t n^T / d`` into its 8 (R, t) motion hypotheses.
+
+    Returns (Rs (8, ..., 3, 3), ts (8, ..., 3)).  The physically correct
+    hypothesis is selected downstream by Sampson support + cheirality —
+    the same voting every other candidate goes through.  Degenerate
+    spectra (d1 ~ d2 ~ d3, pure rotation: translation direction
+    unobservable) come back with t ~ 0 and lose the vote naturally.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    # _svd3x3 completes U and V to PROPER rotations (cross products), so
+    # the implicit third diagonal of U^T H V carries sign(det H).  The
+    # Faugeras formulas assume all-nonnegative singular values; flip H's
+    # sign first (H is only defined up to scale, and E = [t]x R is
+    # invariant to it) so that convention holds.
+    H = H * jnp.where(_det3x3(H) < 0, -1.0, 1.0)[..., None, None]
+    U, d, V = _svd3x3(H)
+    s = _det3x3(U) * _det3x3(V)
+    d1, d2, d3 = d[..., 0], d[..., 1], d[..., 2]
+    d2s = jnp.where(jnp.abs(d2) > 1e-12, d2, 1.0)
+    denom = jnp.maximum(d1 * d1 - d3 * d3, 1e-24)
+    x1a = jnp.sqrt(jnp.clip((d1 * d1 - d2 * d2) / denom, 0.0))
+    x3a = jnp.sqrt(jnp.clip((d2 * d2 - d3 * d3) / denom, 0.0))
+
+    Rs, ts = [], []
+    zero = jnp.zeros_like(d1)
+    for e1 in (1.0, -1.0):
+        for e3 in (1.0, -1.0):
+            x1 = e1 * x1a
+            x3 = e3 * x3a
+            # case d' = +d2
+            st = (d1 - d3) * x1 * x3 / d2s
+            ct = (d1 * x3 * x3 + d3 * x1 * x1) / d2s
+            Rp = jnp.stack([
+                jnp.stack([ct, zero, -st], -1),
+                jnp.stack([zero, jnp.ones_like(ct), zero], -1),
+                jnp.stack([st, zero, ct], -1),
+            ], axis=-2)
+            tp = jnp.stack([(d1 - d3) * x1, zero, -(d1 - d3) * x3], -1)
+            # case d' = -d2
+            sf = (d1 + d3) * x1 * x3 / d2s
+            cf = (d3 * x1 * x1 - d1 * x3 * x3) / d2s
+            Rm = jnp.stack([
+                jnp.stack([cf, zero, sf], -1),
+                jnp.stack([zero, -jnp.ones_like(cf), zero], -1),
+                jnp.stack([sf, zero, -cf], -1),
+            ], axis=-2)
+            tm = jnp.stack([(d1 + d3) * x1, zero, (d1 + d3) * x3], -1)
+            for Rp_, tp_ in ((Rp, tp), (Rm, tm)):
+                R = s[..., None, None] * jnp.einsum(
+                    "...ij,...jk,...lk->...il", U, Rp_, V, precision=hp
+                )
+                t = jnp.einsum("...ij,...j->...i", U, tp_, precision=hp)
+                tn = t / jnp.maximum(
+                    jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12
+                )
+                Rs.append(R)
+                ts.append(tn)
+    return jnp.stack(Rs), jnp.stack(ts)
+
+
+def _skew(t):
+    z = jnp.zeros_like(t[..., 0])
+    return jnp.stack([
+        jnp.stack([z, -t[..., 2], t[..., 1]], -1),
+        jnp.stack([t[..., 2], z, -t[..., 0]], -1),
+        jnp.stack([-t[..., 1], t[..., 0], z], -1),
+    ], axis=-2)
+
+
 def _project_essential(E):
     """Nearest essential matrix: singular values -> (1, 1, 0)."""
     U, s, Vt = _svd3x3(E)
@@ -382,10 +572,11 @@ def _cheirality_counts(E, p1, p2, inl):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_samples", "rerank_k"), inline=True
+    jax.jit, static_argnames=("n_samples", "rerank_k", "h_samples"),
+    inline=True
 )
 def ransac_essential(p1, p2, valid, key, *, th_norm, n_samples=1024,
-                     E_seed=None, rerank_k=48):
+                     E_seed=None, rerank_k=48, h_samples=192):
     """RANSAC essential matrix from (N, 2) normalised correspondences.
 
     Returns (E (3,3), inlier_mask (N,), n_inliers).  ``th_norm`` is the
@@ -399,6 +590,24 @@ def ransac_essential(p1, p2, valid, key, *, th_norm, n_samples=1024,
     it R) to the physical solution.  OpenCV only cheirality-tests the
     single winner; the closed-form two-ray depth solve makes testing a
     whole candidate slate affordable.
+
+    **Homography rescue** (``h_samples`` > 0): plane-dominated scenes are
+    the known failure mode of minimal 8-point sampling — coplanar
+    correspondences satisfy a 3-parameter family ``{[v]x H}`` of epipolar
+    models, and with realistic noise *no* minimal sample lands near the
+    true motion (measured on the synthetic benchmark: best of 300
+    all-inlier samples explained 102/211 matches, while the true model
+    explains 160; the reference's adaptive 5-point,
+    cv::findEssentialMat at src/ViewGraph.cpp:629, enforces the
+    essential structure inside its solver and is immune).  Instead of a
+    5-point polynomial solver (10th-degree root finding — hostile to
+    batched TPU execution), a parallel 4-point homography RANSAC runs on
+    the same draws, and the best H's Faugeras decomposition contributes
+    its 8 motion hypotheses ``E = [t]x R`` to the candidate pool: for a
+    plane-induced H these contain the *exact* camera motion, and the
+    off-plane correspondences then select it through the ordinary
+    Sampson + cheirality vote.  On non-planar scenes the H-derived
+    candidates simply lose that vote — no behaviour change.
 
     ``E_seed`` (optional (3, 3)) joins the hypothesis pool as one more
     candidate — refinement loops may pass their current model so a
@@ -421,8 +630,34 @@ def ransac_essential(p1, p2, valid, key, *, th_norm, n_samples=1024,
     E_cand = _project_essential(E_cand)
     if E_seed is not None:
         E_cand = jnp.concatenate([E_cand, E_seed[None]], axis=0)
-    d = sampson_distance(E_cand, p1, p2)        # (S, N)
     th2 = th_norm * th_norm
+
+    if h_samples:
+        # homography rescue: 4-point H RANSAC -> best H -> 8 Faugeras
+        # motion hypotheses as extra E candidates (see docstring)
+        ranks_h = jax.random.randint(
+            jax.random.fold_in(key, 1), (h_samples, 4), 0, nv
+        )
+        idx_h = jnp.sum(cs[None, None, :] <= ranks_h[..., None], axis=-1)
+        Hc = _homography_samples(p1, p2, idx_h)
+        sup_h = _transfer_support(Hc, p1, p2, valid[None, :], 4.0 * th2)
+        H_best = Hc[jnp.argmax(sup_h)]
+        # decompose an all-inlier LS refit, not the minimal sample: the
+        # motion hypotheses inherit the H fit's noise directly (a 4-point
+        # H decomposed to ~5 deg R error on the benchmark; the ~100-point
+        # refit to ~0.3 deg).  Keep the refit only if support holds.
+        hinl = _transfer_inliers(H_best, p1, p2, valid, 4.0 * th2)
+        H_ref = _homography_ls(p1, p2, hinl.astype(p1.dtype))
+        sup_ref = _transfer_support(H_ref, p1, p2, valid, 4.0 * th2)
+        H_use = jnp.where(sup_ref >= jnp.max(sup_h), H_ref, H_best)
+        Rh, th_ = _decompose_homography(H_use)           # (8,3,3), (8,3)
+        E_h = _project_essential(
+            jnp.einsum("...ij,...jk->...ik", _skew(th_), Rh,
+                       precision=jax.lax.Precision.HIGHEST)
+        )
+        E_cand = jnp.concatenate([E_cand, E_h], axis=0)
+
+    d = sampson_distance(E_cand, p1, p2)        # (S, N)
     inl = (d < th2) & valid[None, :]
     scores = jnp.sum(inl, axis=1)
 
