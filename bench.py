@@ -315,6 +315,11 @@ def crosscheck_f64_main(qpath, n, m_extra):
         "irls_iters": int(iters),
         "mean_err_vs_gt_deg": round(float(err64.mean()), 4),
         "vs_f32_geodesic_mean_deg": round(float(delta.mean()), 4),
+        "vs_f32_geodesic_p99_deg": round(float(np.percentile(delta, 99)), 4),
+        # the max is dominated by outlier-edge-only nodes whose incident
+        # Geman-McClure weights all collapse: their rotation is weakly
+        # determined, so f32 and f64 settle on different (equally valid)
+        # fixed points there — mean/p99 are the agreement signal
         "vs_f32_geodesic_max_deg": round(float(delta.max()), 4),
     }))
 
@@ -400,6 +405,69 @@ def bench_windows(W=384, reps=6):
         "batch_ms_per_dispatch": round(1e3 * dt / reps, 2),
         "mean_err_vs_gt_deg": round(float(np.mean(errs)), 3),
         "mean_irls_iters": round(float(iters.mean()), 1),
+    }
+
+
+def bench_vocab():
+    """Real-scale place-recognition timings: a complete k=10 / L=5 tree
+    (100k words, 111,111 nodes — the production ORB-SLAM vocabulary is
+    k=10/L=6, TemplatedVocabulary.h:1337-1424, same structure one level
+    deeper).  Times the text round-trip through the native C parser, the
+    batched level-synchronous descent (16 frames x 2000 descriptors per
+    dispatch), and the inverted-file candidate cascade over 500 views.
+    """
+    import tempfile
+
+    from irotavg_tpu.placerec.bow import bow_score
+    from irotavg_tpu.placerec.database import ViewDatabase
+    from irotavg_tpu.placerec.vocabulary import (
+        Vocabulary, make_random_vocabulary,
+    )
+
+    v = make_random_vocabulary(k=10, L=5, seed=7)
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "vocab_100k.txt")
+        t0 = time.perf_counter()
+        v.save_text(p)
+        save_s = time.perf_counter() - t0
+        size_mb = os.path.getsize(p) / 1e6
+        t0 = time.perf_counter()
+        v2 = Vocabulary.load_text(p)
+        load_s = time.perf_counter() - t0
+        assert v2.n_words == v.n_words
+
+    rng = np.random.default_rng(5)
+    B, N = 16, 2000
+    descs = rng.integers(0, 2 ** 32, (B, N, 8), dtype=np.uint32)
+    res = v.transform_batch(descs)              # compile + warmup
+    t0 = time.perf_counter()
+    reps = 4
+    for r in range(reps):
+        res = v.transform_batch(descs ^ np.uint32(r + 1))
+    transform_s = (time.perf_counter() - t0) / reps
+    bows = [b for b, _ in res]
+
+    db = ViewDatabase()
+    for i in range(500):
+        db.add(i, bows[i % B])
+    t0 = time.perf_counter()
+    n_q = 32
+    for q in range(n_q):
+        db.detect_loop_candidates(
+            query_id=10_000 + q, bow=bows[q % B], connected=set(),
+            min_score=0.0, covisibility_fn=lambda i, n: [],
+            score_fn=bow_score,
+        )
+    query_ms = (time.perf_counter() - t0) / n_q * 1e3
+    return {
+        "k": 10, "L": 5, "n_words": int(v.n_words),
+        "text_mb": round(size_mb, 1),
+        "save_text_s": round(save_s, 2),
+        "load_text_s": round(load_s, 2),
+        "transform_frames_per_s": round(B / transform_s, 1),
+        "transform_desc_per_s": round(B * N / transform_s, 0),
+        "db_views": 500,
+        "cascade_query_ms": round(query_ms, 2),
     }
 
 
@@ -609,9 +677,12 @@ def main():
     out["value"] = head.pop("value")
     out["vs_baseline"] = head.pop("vs_baseline")
     out.update(head)
-    for name, fn in (("windows", bench_windows), ("large", bench_large),
-                     ("e2e", bench_e2e), ("incremental", bench_incremental),
-                     ("scaling", bench_scaling)):
+    # product-path sections (e2e, incremental) run before the large-alloc
+    # sections: the 50k CG solve and the f64 subprocess measurably slow
+    # everything after them (allocator state + host contention)
+    for name, fn in (("e2e", bench_e2e), ("incremental", bench_incremental),
+                     ("windows", bench_windows), ("vocab", bench_vocab),
+                     ("large", bench_large), ("scaling", bench_scaling)):
         try:
             out[name] = fn()
         except Exception as e:  # a failed section must not sink the line
@@ -630,7 +701,7 @@ if __name__ == "__main__":
         enable_persistent_cache()
         fn = {"headline": bench_headline, "windows": bench_windows,
               "large": bench_large, "e2e": bench_e2e,
-              "incremental": bench_incremental,
+              "incremental": bench_incremental, "vocab": bench_vocab,
               "scaling": bench_scaling}[name]
         print(json.dumps({name: fn()}))
     else:
