@@ -84,49 +84,24 @@ class ViewGraph:
         nb = self.adjacency.get(i, {})
         return [v for v, _ in sorted(nb.items(), key=lambda x: -x[1])[:n]]
 
-    # -- initial pose with adaptive radius ----------------------------------
-
-    def _find_initial_pose(self, prev, curr):
-        """`findInitialPose` (src/ViewGraph.cpp:828-902): local match at
-        2*local_rad, update local_rad to the mean match displacement,
-        escalate x1.25 (<= 5 retries) until cheirality inliers >
-        2*min_matches.  Runs as ONE device program
-        (geometry/fused.py:fused_initial_pose)."""
-        import jax
-        import jax.numpy as jnp
-
-        from irotavg_tpu.geometry.fused import fused_initial_pose
-
-        cam = self.camera
-        camv = jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32)
-        out = fused_initial_pose(
-            curr.pm1, curr.dev("valid"), curr.dev("octave"),
-            curr.dev("xu"), curr.dev("yu"),
-            prev.pm1.T, prev.dev("valid"), prev.dev("octave"),
-            prev.dev("xu"), prev.dev("yu"),
-            jnp.float32(self.local_rad), camv,
-            jnp.float32(1.0 / cam.fx), jax.random.key(self.num_views),
-            jnp.int32(2 * self.min_matches), jnp.float32(0.9),
-        )
-        # ONE bundled fetch — per-array downloads cost ~25 ms each through
-        # a tunneled device regardless of size
-        E, R, t, n_che, m12, local_rad, rel_valid, _ = jax.device_get(out)
-        self.local_rad = float(local_rad)
-        rows = np.where(m12 >= 0)[0]
-        pairs = np.stack([m12[rows], rows], axis=1).astype(np.int32)
-        if not bool(rel_valid):
-            return None, pairs
-        rel = RelativePose(
-            R=np.asarray(R, np.float64), t=np.asarray(t, np.float64),
-            E=np.asarray(E, np.float64), n_cheirality=int(n_che),
-            inlier_mask=np.ones(len(pairs), bool),
-        )
-        return rel, pairs
-
     # -- frame ingestion -----------------------------------------------------
 
     def process_frame(self, frame, win_size: int = 4) -> bool:
-        """Ingest a frame; returns False when rejected (not a keyframe)."""
+        """Ingest a frame; returns False when rejected (not a keyframe).
+
+        The whole device side — adaptive-radius initial pose, epipolar
+        refine, pivot-chained window walk (src/ViewGraph.cpp:1035-1145)
+        — runs as ONE program (`geometry/fused.py:fused_process_frame`),
+        so each frame costs a single dispatch + fetch instead of three
+        (~26 ms tunnel round trip each).  Host keeps only the decisions:
+        the 5 px keyframe gate, the connect bookkeeping, and the
+        stop-at-first-failure window walk.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from irotavg_tpu.geometry.fused import fused_process_frame
+
         if self.num_views == 0:
             self.frames.append(frame)
             self.ra.add_view()
@@ -135,128 +110,111 @@ class ViewGraph:
         curr_idx = self.num_views
         prev_idx = curr_idx - 1
         prev = self.frames[prev_idx]
+        cam = self.camera
+        n = frame.capacity
+        assert prev.capacity == n, "mixed frame capacities"
 
-        rel, pairs = self._find_initial_pose(prev, frame)
+        # window candidates, padded to a fixed K so every fill level
+        # shares one executable (padded slots repeat candidate 0, inactive)
+        cand_ids = [v1 for v1 in range(prev_idx - 1, -1, -1)
+                    if (curr_idx - v1) <= win_size]
+        k_pad = max(win_size - 1, 1)
+        m12_w2p = np.full((k_pad, n), -1, np.int32)
+        active = np.zeros(k_pad, bool)
+        fr = []
+        for ki in range(k_pad):
+            v1 = cand_ids[ki] if ki < len(cand_ids) else (
+                cand_ids[0] if cand_ids else prev_idx)
+            fr.append(self.frames[v1])
+            if ki >= len(cand_ids):
+                continue
+            key = (min(v1, prev_idx), max(v1, prev_idx))
+            conn = self.connections.get(key)
+            if conn is None:
+                continue
+            p = conn.pairs if key[0] == v1 else conn.pairs[:, ::-1]
+            m12_w2p[ki, p[:, 0]] = p[:, 1]
+            active[ki] = len(p) > 0
+
+        f32 = jnp.float32
+        has_nodes = (frame.feat_nodes is not None
+                     and prev.feat_nodes is not None
+                     and all(f.feat_nodes is not None for f in fr))
+        zeros = jnp.zeros((n,), jnp.int32)
+        zeros_w = jnp.zeros((k_pad, n), jnp.int32)
+
+        def nodes(f):
+            return f.dev("feat_nodes") if has_nodes else zeros
+
+        res = fused_process_frame(
+            frame.pm1, nodes(frame), frame.dev("valid"), frame.dev("angle"),
+            frame.dev("xu"), frame.dev("yu"), frame.dev("octave"),
+            prev.pm1, nodes(prev), prev.dev("valid"), prev.dev("angle"),
+            prev.dev("xu"), prev.dev("yu"), prev.dev("octave"),
+            jnp.stack([f.pm1 for f in fr]),
+            jnp.stack([nodes(f) for f in fr]) if has_nodes else zeros_w,
+            jnp.stack([f.dev("valid") for f in fr]),
+            jnp.stack([f.dev("angle") for f in fr]),
+            jnp.stack([f.dev("xu") for f in fr]),
+            jnp.stack([f.dev("yu") for f in fr]),
+            jnp.stack([f.dev("octave") for f in fr]),
+            jnp.asarray(m12_w2p), jnp.asarray(active),
+            jnp.float32(self.local_rad),
+            jnp.asarray(np.linalg.inv(cam.K), f32),
+            jnp.asarray((1.2 ** np.arange(8)) ** 2, f32),
+            jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], f32),
+            jnp.float32(1.0 / cam.fx),
+            jax.random.key(self.num_views),
+            jnp.int32(2 * self.min_matches), jnp.int32(self.min_matches),
+            jnp.float32(0.9),
+            has_nodes=has_nodes,
+        )
+        init, refined, window = jax.device_get(res)  # ONE bundled fetch
+        _, _, _, _, _, local_rad, rel_valid, _ = init
+        E_r, R_r, t_r, n_r, m12_pc = refined
+        E_w, R_w, t_w, n_w, m12_w, succ_w = window
+
+        self.local_rad = float(local_rad)
         if self.local_rad < 5.0:
             return False                       # keyframe gate (:1071-1074)
 
         self.frames.append(frame)
         self.ra.add_view()
 
-        if rel is not None:
-            rel, pairs = refine_pose(prev, frame, rel, pairs, self.camera,
-                                     min_matches=self.min_matches)
-        if rel is None or len(pairs) < self.min_matches:
+        rows = np.where(m12_pc >= 0)[0]
+        pairs = np.stack([rows, m12_pc[rows]], axis=1).astype(np.int32)
+        if not bool(rel_valid) or len(pairs) < self.min_matches:
             raise FrameConnectionError(
                 f"failed to connect frame {curr_idx}: insufficient matches "
-                f"{0 if rel is None else len(pairs)}"
+                f"{len(pairs)}"
             )
+        rel = RelativePose(
+            R=np.asarray(R_r, np.float64), t=np.asarray(t_r, np.float64),
+            E=np.asarray(E_r, np.float64), n_cheirality=int(n_r),
+            inlier_mask=np.ones(len(pairs), bool),
+        )
         self.connect(prev_idx, curr_idx, pairs, rel)
         # warm-start the new rotation: R_curr = R_rel @ R_prev
         self.ra.Q[curr_idx] = so3.qmul(rel.q, self.ra.Q[prev_idx])
 
-        # pivot chaining through the window (:1109-1136) — all candidate
-        # older views solve in ONE batched device program; the walk stops
-        # at the first failure like the reference's sequential loop.
-        pivot_idx = prev_idx
-        n1 = self.frames[pivot_idx].capacity
-        pivot2curr = np.full(n1, -1, np.int64)
-        pivot2curr[pairs[:, 0]] = pairs[:, 1]
-
-        cand_ids = [v1 for v1 in range(prev_idx - 1, -1, -1)
-                    if (curr_idx - v1) <= win_size]
-        if cand_ids:
-            results = self._window_connect_batch(
-                cand_ids, frame, pivot_idx, pivot2curr, pad_k=win_size
-            )
-            for v1, res in zip(cand_ids, results):
-                if res is None:
-                    break
-                rel_w, pairs_w = res
-                self.connect(v1, curr_idx, pairs_w, rel_w)
-        return True
-
-    def _window_connect_batch(self, cand_ids, frame, pivot_idx, pivot2curr,
-                              pad_k=None):
-        """Batched `findPose` + `refinePose` for the window candidates
-        (geometry/fused.py:fused_window_connect).  Returns one entry per
-        candidate: (RelativePose, pairs) or None.  ``pad_k`` pads the
-        batch axis to a fixed size so all window fill levels share ONE
-        compiled executable (padded slots repeat candidate 0, inactive)."""
-        import jax
-        import jax.numpy as jnp
-
-        from irotavg_tpu.geometry.fused import fused_window_connect
-
-        cam = self.camera
-        k_real = len(cand_ids)
-        k = max(pad_k or 0, k_real)
-        cand_pad = cand_ids + [cand_ids[0]] * (k - k_real)
-        caps = {self.frames[v].capacity for v in cand_ids}
-        assert len(caps) == 1, f"mixed frame capacities {caps}"
-        n = caps.pop()
-        m12_0 = np.full((k, n), -1, np.int32)
-        active = np.zeros(k, bool)
+        # window walk: stop at the first failure like the reference's
+        # sequential loop (src/ViewGraph.cpp:1109-1136)
         for ki, v1 in enumerate(cand_ids):
-            key = (min(v1, pivot_idx), max(v1, pivot_idx))
-            conn = self.connections.get(key)
-            if conn is None:
-                continue
-            p = conn.pairs if key[0] == v1 else conn.pairs[:, ::-1]
-            tgt = pivot2curr[p[:, 1]]
-            ok = tgt >= 0
-            m12_0[ki, p[ok, 0]] = tgt[ok]
-            active[ki] = ok.sum() > 5
-
-        fr = [self.frames[v] for v in cand_pad]
-        f32 = jnp.float32
-        has_nodes = (frame.feat_nodes is not None
-                     and all(f.feat_nodes is not None for f in fr))
-        # all stacks happen ON DEVICE from the frames' cached device
-        # arrays — no host round-trips in the hot path
-        zeros = jnp.zeros((k, n), jnp.int32)
-        res = fused_window_connect(
-            jnp.stack([f.pm1 for f in fr]),
-            jnp.stack([f.dev("feat_nodes") for f in fr])
-            if has_nodes else zeros,
-            jnp.stack([f.dev("valid") for f in fr]),
-            jnp.stack([f.dev("angle") for f in fr]),
-            jnp.stack([f.dev("xu") for f in fr]),
-            jnp.stack([f.dev("yu") for f in fr]),
-            jnp.stack([f.dev("octave") for f in fr]),
-            jnp.asarray(m12_0), jnp.asarray(active),
-            frame.pm1.T,
-            frame.dev("feat_nodes") if has_nodes
-            else jnp.zeros((frame.capacity,), jnp.int32),
-            frame.dev("valid"), frame.dev("angle"),
-            frame.dev("xu"), frame.dev("yu"),
-            jnp.asarray(np.linalg.inv(cam.K), f32),
-            jnp.asarray((1.2 ** np.arange(8)) ** 2, f32),
-            jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], f32),
-            jnp.float32(1.0 / cam.fx),
-            jax.random.key(self.num_views * 7919 + 17),
-            jnp.int32(self.min_matches),
-            has_nodes=has_nodes,
-        )
-        E, R, t, n_che, m12, success = jax.device_get(res)
-        out = []
-        for ki in range(k_real):
-            if not success[ki]:
-                out.append(None)
-                continue
-            rows = np.where(m12[ki] >= 0)[0]
-            pairs_w = np.stack([rows, m12[ki][rows]], axis=1).astype(
-                np.int32
-            )
+            if not bool(succ_w[ki]):
+                break
+            rows_w = np.where(m12_w[ki] >= 0)[0]
+            pairs_w = np.stack(
+                [rows_w, m12_w[ki][rows_w]], axis=1
+            ).astype(np.int32)
             rel_w = RelativePose(
-                R=np.asarray(R[ki], np.float64),
-                t=np.asarray(t[ki], np.float64),
-                E=np.asarray(E[ki], np.float64),
-                n_cheirality=int(n_che[ki]),
+                R=np.asarray(R_w[ki], np.float64),
+                t=np.asarray(t_w[ki], np.float64),
+                E=np.asarray(E_w[ki], np.float64),
+                n_cheirality=int(n_w[ki]),
                 inlier_mask=np.ones(len(pairs_w), bool),
             )
-            out.append((rel_w, pairs_w))
-        return out
+            self.connect(v1, curr_idx, pairs_w, rel_w)
+        return True
 
     # -- loop closure --------------------------------------------------------
 

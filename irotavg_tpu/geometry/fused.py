@@ -328,6 +328,93 @@ def fused_pair_estimate(bitsA, validA, octA, xA, yA, angleA,
                          radius, keys)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("has_nodes", "n_samples")
+)
+def fused_process_frame(
+    bits_c, nodes_c, valid_c, angle_c, x_c, y_c, oct_c,
+    bits_p, nodes_p, valid_p, angle_p, x_p, y_p, oct_p,
+    bits_w, nodes_w, valid_w, angle_w, x_w, y_w, oct_w,
+    m12_w2p, active_w,
+    local_rad0, K_inv, sigma2, cam, th_norm, key,
+    min_inliers2x, min_matches, nnratio,
+    *, has_nodes, n_samples=512,
+):
+    """The engine's ENTIRE per-frame device work as one program.
+
+    `processFrame` (src/ViewGraph.cpp:1035-1145) is three device stages —
+    adaptive-radius initial pose vs the previous view, epipolar refine,
+    and the pivot-chained window walk — previously one dispatch (and one
+    ~26 ms tunnel round trip) each.  This fuses them: the pivot-chain
+    composition (stored candidate->pivot assignments through the
+    *refined* pivot->current assignment) happens on device, so only the
+    final bundle crosses the link.  The keyframe gate stays a host
+    decision (reject when local_rad < 5 px); a rejected frame wastes the
+    speculative refine/window compute, which is cheap next to the round
+    trips saved on every accepted frame.
+
+    Inputs: current frame arrays; previous (pivot) frame arrays; window
+    candidates stacked on a leading K axis with ``m12_w2p`` (candidate
+    row -> pivot row, from the stored connections) and ``active_w``.
+
+    Returns ``(init, refined, window)``:
+      init    = (E0, R0, t0, n0, m12_cp, local_rad, rel_valid, accepted)
+      refined = (E_r, R_r, t_r, n_r, m12_pc)   # prev row -> curr col
+      window  = (E_w, R_w, t_w, n_w, m12_w, success_w)  # leading axis K
+    """
+    E0, R0, t0, n0, m12_cp, local_rad, rel_valid, accepted = (
+        fused_initial_pose(
+            bits_c, valid_c, oct_c, x_c, y_c,
+            jnp.swapaxes(bits_p, 0, 1), valid_p, oct_p, x_p, y_p,
+            local_rad0, cam, th_norm, key, min_inliers2x, nnratio,
+            n_samples=n_samples,
+        )
+    )
+
+    # current->previous assignment flipped to previous->current (the
+    # orientation refine and the pivot chain use).  Duplicate targets:
+    # one writer wins, like the host's vectorised assignment did.
+    n_prev = x_p.shape[0]
+    n_curr = x_c.shape[0]
+    rows = jnp.arange(n_curr, dtype=jnp.int32)
+    matched = m12_cp >= 0
+    tgt = jnp.where(matched, m12_cp, n_prev)
+    m12_pc0 = (
+        jnp.full((n_prev + 1,), -1, jnp.int32)
+        .at[tgt].set(jnp.where(matched, rows, -1), mode="drop")[:n_prev]
+    )
+    cnt0 = jnp.sum(m12_pc0 >= 0)
+
+    key, sub = jax.random.split(key)
+    bits_ct = jnp.swapaxes(bits_c, 0, 1)
+    E_r, R_r, t_r, n_r, m12_pc, _ = fused_refine(
+        bits_p, nodes_p, valid_p, angle_p, x_p, y_p, oct_p,
+        bits_ct, nodes_c, valid_c, angle_c, x_c, y_c,
+        E0, R0, t0, cnt0, m12_pc0,
+        K_inv, sigma2, cam, th_norm, sub,
+        jnp.ceil(0.75 * min_matches).astype(jnp.int32),
+        has_nodes=has_nodes, n_samples=n_samples,
+    )
+
+    # pivot chaining on device: candidate row -> pivot row -> curr col
+    j = jnp.clip(m12_w2p, 0, None)
+    m12_w2c = jnp.where(m12_w2p >= 0, m12_pc[j], -1).astype(jnp.int32)
+    active = active_w & (jnp.sum(m12_w2c >= 0, axis=1) > 5)
+
+    key, sub = jax.random.split(key)
+    window = fused_window_connect(
+        bits_w, nodes_w, valid_w, angle_w, x_w, y_w, oct_w,
+        m12_w2c, active,
+        bits_ct, nodes_c, valid_c, angle_c, x_c, y_c,
+        K_inv, sigma2, cam, th_norm, sub, min_matches,
+        has_nodes=has_nodes, n_samples=n_samples,
+    )
+
+    init = (E0, R0, t0, n0, m12_cp, local_rad, rel_valid, accepted)
+    refined = (E_r, R_r, t_r, n_r, m12_pc)
+    return init, refined, window
+
+
 @jax.jit
 def fused_flow(bitsA, validA, octA, xA, yA,
                bitsBt, validB, octB, xB, yB, radius):
