@@ -89,18 +89,20 @@ class ViewGraph:
     def process_frame(self, frame, win_size: int = 4) -> bool:
         """Ingest a frame; returns False when rejected (not a keyframe).
 
-        The whole device side — adaptive-radius initial pose, epipolar
-        refine, pivot-chained window walk (src/ViewGraph.cpp:1035-1145)
-        — runs as ONE program (`geometry/fused.py:fused_process_frame`),
-        so each frame costs a single dispatch + fetch instead of three
-        (~26 ms tunnel round trip each).  Host keeps only the decisions:
-        the 5 px keyframe gate, the connect bookkeeping, and the
+        Two device programs per accepted frame, one per rejected frame
+        (src/ViewGraph.cpp:1035-1145): `fused_initial_pose` decides the
+        5 px keyframe gate; accepted frames then run epipolar refine +
+        the pivot-chained window walk fused into one program
+        (`geometry/fused.py:fused_refine_window`).  Host keeps only the
+        decisions: the gate, connect bookkeeping, and the
         stop-at-first-failure window walk.
         """
         import jax
         import jax.numpy as jnp
 
-        from irotavg_tpu.geometry.fused import fused_process_frame
+        from irotavg_tpu.geometry.fused import (
+            fused_initial_pose, fused_refine_window,
+        )
 
         if self.num_views == 0:
             self.frames.append(frame)
@@ -113,6 +115,25 @@ class ViewGraph:
         cam = self.camera
         n = frame.capacity
         assert prev.capacity == n, "mixed frame capacities"
+        f32 = jnp.float32
+        camv = jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], f32)
+        th_norm = jnp.float32(1.0 / cam.fx)
+
+        # phase 1: adaptive-radius initial pose -> keyframe gate
+        E0, R0, t0, n0, m12_cp, local_rad, rel_valid, _ = jax.device_get(
+            fused_initial_pose(
+                frame.pm1, frame.dev("valid"), frame.dev("octave"),
+                frame.dev("xu"), frame.dev("yu"),
+                prev.pm1.T, prev.dev("valid"), prev.dev("octave"),
+                prev.dev("xu"), prev.dev("yu"),
+                jnp.float32(self.local_rad), camv, th_norm,
+                jax.random.key(self.num_views),
+                jnp.int32(2 * self.min_matches), jnp.float32(0.9),
+            )
+        )
+        self.local_rad = float(local_rad)
+        if self.local_rad < 5.0:
+            return False                       # keyframe gate (:1071-1074)
 
         # window candidates, padded to a fixed K so every fill level
         # shares one executable (padded slots repeat candidate 0, inactive)
@@ -136,7 +157,6 @@ class ViewGraph:
             m12_w2p[ki, p[:, 0]] = p[:, 1]
             active[ki] = len(p) > 0
 
-        f32 = jnp.float32
         has_nodes = (frame.feat_nodes is not None
                      and prev.feat_nodes is not None
                      and all(f.feat_nodes is not None for f in fr))
@@ -146,7 +166,8 @@ class ViewGraph:
         def nodes(f):
             return f.dev("feat_nodes") if has_nodes else zeros
 
-        res = fused_process_frame(
+        # phase 2: refine + window walk (accepted frames only)
+        refined, window = jax.device_get(fused_refine_window(
             frame.pm1, nodes(frame), frame.dev("valid"), frame.dev("angle"),
             frame.dev("xu"), frame.dev("yu"), frame.dev("octave"),
             prev.pm1, nodes(prev), prev.dev("valid"), prev.dev("angle"),
@@ -159,24 +180,17 @@ class ViewGraph:
             jnp.stack([f.dev("yu") for f in fr]),
             jnp.stack([f.dev("octave") for f in fr]),
             jnp.asarray(m12_w2p), jnp.asarray(active),
-            jnp.float32(self.local_rad),
+            jnp.asarray(E0, f32), jnp.asarray(R0, f32),
+            jnp.asarray(t0, f32), jnp.asarray(m12_cp, jnp.int32),
             jnp.asarray(np.linalg.inv(cam.K), f32),
             jnp.asarray((1.2 ** np.arange(8)) ** 2, f32),
-            jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], f32),
-            jnp.float32(1.0 / cam.fx),
-            jax.random.key(self.num_views),
-            jnp.int32(2 * self.min_matches), jnp.int32(self.min_matches),
-            jnp.float32(0.9),
+            camv, th_norm,
+            jax.random.key(self.num_views * 7919 + 17),
+            jnp.int32(self.min_matches),
             has_nodes=has_nodes,
-        )
-        init, refined, window = jax.device_get(res)  # ONE bundled fetch
-        _, _, _, _, _, local_rad, rel_valid, _ = init
+        ))
         E_r, R_r, t_r, n_r, m12_pc = refined
         E_w, R_w, t_w, n_w, m12_w, succ_w = window
-
-        self.local_rad = float(local_rad)
-        if self.local_rad < 5.0:
-            return False                       # keyframe gate (:1071-1074)
 
         self.frames.append(frame)
         self.ra.add_view()

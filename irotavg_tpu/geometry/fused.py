@@ -331,46 +331,37 @@ def fused_pair_estimate(bitsA, validA, octA, xA, yA, angleA,
 @functools.partial(
     jax.jit, static_argnames=("has_nodes", "n_samples")
 )
-def fused_process_frame(
+def fused_refine_window(
     bits_c, nodes_c, valid_c, angle_c, x_c, y_c, oct_c,
     bits_p, nodes_p, valid_p, angle_p, x_p, y_p, oct_p,
     bits_w, nodes_w, valid_w, angle_w, x_w, y_w, oct_w,
     m12_w2p, active_w,
-    local_rad0, K_inv, sigma2, cam, th_norm, key,
-    min_inliers2x, min_matches, nnratio,
+    E0, R0, t0, m12_cp,
+    K_inv, sigma2, cam, th_norm, key, min_matches,
     *, has_nodes, n_samples=512,
 ):
-    """The engine's ENTIRE per-frame device work as one program.
+    """Everything `processFrame` does AFTER the keyframe gate, as one
+    program: epipolar refine of the initial pose, then the pivot-chained
+    window walk (src/ViewGraph.cpp:1081-1136).
 
-    `processFrame` (src/ViewGraph.cpp:1035-1145) is three device stages —
-    adaptive-radius initial pose vs the previous view, epipolar refine,
-    and the pivot-chained window walk — previously one dispatch (and one
-    ~26 ms tunnel round trip) each.  This fuses them: the pivot-chain
-    composition (stored candidate->pivot assignments through the
-    *refined* pivot->current assignment) happens on device, so only the
-    final bundle crosses the link.  The keyframe gate stays a host
-    decision (reject when local_rad < 5 px); a rejected frame wastes the
-    speculative refine/window compute, which is cheap next to the round
-    trips saved on every accepted frame.
+    Two-phase split rationale: the gate (local_rad < 5 px -> reject,
+    :1071) is a host decision that kills ~2/3 of frames on real
+    sequences, and the refine+window stages are ~3/4 of the per-frame
+    device compute — fusing them WITH the initial pose would spend that
+    compute speculatively on every rejected frame.  So the engine runs
+    `fused_initial_pose` (one dispatch, gate decided from its
+    local_rad), and accepted frames pay exactly one more dispatch for
+    this program — down from the previous three per accepted frame.
 
-    Inputs: current frame arrays; previous (pivot) frame arrays; window
-    candidates stacked on a leading K axis with ``m12_w2p`` (candidate
-    row -> pivot row, from the stored connections) and ``active_w``.
+    ``m12_cp`` is the initial pose's current-row -> previous-column
+    assignment (as fetched); the flip to previous -> current, the refine
+    seed, and the chain composition through the *refined* assignment all
+    stay on device.
 
-    Returns ``(init, refined, window)``:
-      init    = (E0, R0, t0, n0, m12_cp, local_rad, rel_valid, accepted)
+    Returns ``(refined, window)``:
       refined = (E_r, R_r, t_r, n_r, m12_pc)   # prev row -> curr col
       window  = (E_w, R_w, t_w, n_w, m12_w, success_w)  # leading axis K
     """
-    E0, R0, t0, n0, m12_cp, local_rad, rel_valid, accepted = (
-        fused_initial_pose(
-            bits_c, valid_c, oct_c, x_c, y_c,
-            jnp.swapaxes(bits_p, 0, 1), valid_p, oct_p, x_p, y_p,
-            local_rad0, cam, th_norm, key, min_inliers2x, nnratio,
-            n_samples=n_samples,
-        )
-    )
-
     # current->previous assignment flipped to previous->current (the
     # orientation refine and the pivot chain use).  Duplicate targets:
     # one writer wins, like the host's vectorised assignment did.
@@ -410,9 +401,7 @@ def fused_process_frame(
         has_nodes=has_nodes, n_samples=n_samples,
     )
 
-    init = (E0, R0, t0, n0, m12_cp, local_rad, rel_valid, accepted)
-    refined = (E_r, R_r, t_r, n_r, m12_pc)
-    return init, refined, window
+    return (E_r, R_r, t_r, n_r, m12_pc), window
 
 
 @jax.jit
