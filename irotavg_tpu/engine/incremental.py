@@ -100,18 +100,42 @@ class IncrementalRotAvg:
         self.dtype = np.dtype(dtype)
         self.dense_n_max = int(dense_n_max)
         self.large_dtype = None if large_dtype is None else np.dtype(large_dtype)
-        self.Q = np.zeros((0, 4), self.dtype)  # absolute rotations
+        self._Q = np.zeros((0, 4), self.dtype)  # absolute rotations
         self.fixed = np.zeros((0,), bool)      # explicit fix_pose pins
         self.edges = np.zeros((0, 2), np.int32)
-        self.QQ = np.zeros((0, 4), self.dtype)
+        self.QQ = np.zeros((0, 4), np.dtype(dtype))
         # per-node adjacency for the window gather: edge ids by larger endpoint
         self._edges_by_max: list[list[int]] = []
+        # one in-flight lazy solve: (order, f, n, device result)
+        self._pending = None
+
+    # -- lazy write-back ------------------------------------------------------
+
+    def _resolve(self) -> None:
+        """Block on the in-flight lazy solve (if any) and write it back."""
+        if self._pending is None:
+            return
+        order, f, n, res = self._pending
+        self._pending = None
+        Q_out, w, iters, score = jax.device_get(res)
+        self._Q[order[f:]] = Q_out[f:n]
+
+    @property
+    def Q(self) -> np.ndarray:
+        """Absolute rotations; resolves any in-flight lazy solve first."""
+        self._resolve()
+        return self._Q
+
+    @Q.setter
+    def Q(self, value) -> None:
+        self._pending = None
+        self._Q = value
 
     # -- graph construction -------------------------------------------------
 
     @property
     def num_views(self) -> int:
-        return self.Q.shape[0]
+        return self._Q.shape[0]
 
     @property
     def num_edges(self) -> int:
@@ -159,11 +183,21 @@ class IncrementalRotAvg:
         sigma: float = float(5.0 * np.pi / 180.0),
         change_th: float = 1e-3,
         cost: str = "Geman-McClure",
+        lazy: bool = False,
     ) -> dict | None:
         """Solve the window subproblem and write back rotations in place.
 
         Returns a stats dict, or None if the solve was skipped (too few
         edges/vertices — src/ViewGraph.cpp:1313-1321).
+
+        ``lazy=True`` dispatches the solve and returns immediately; the
+        write-back happens at the next access of :attr:`Q` (or the next
+        ``rot_avg``/``fix_pose``/``save_poses``).  The per-keyframe solve
+        then overlaps the next frame's extraction and matching — on a
+        device behind a network link the fetch is pure latency the
+        pipeline otherwise eats every keyframe.  The lazy stats dict
+        carries the shape/bucket fields only (device-side results are
+        not yet known).
         """
         m_views = self.num_views
         win_size = min(m_views, win_size)
@@ -220,10 +254,7 @@ class IncrementalRotAvg:
             jnp.asarray(edges_p), jnp.asarray(QQ_p), jnp.asarray(Q_p),
             jnp.asarray(f, jnp.int32), jnp.asarray(emask), jnp.asarray(nmask),
         )
-        Q_out, w, iters, score = jax.device_get(res)  # one bundled fetch
-
-        self.Q[order[f:]] = Q_out[f:n]
-        return {
+        stats = {
             "m": m,
             "n": n,
             "f": f,
@@ -231,11 +262,19 @@ class IncrementalRotAvg:
             "n_pad": n_pad,
             "backend": backend,
             "solve_dtype": np.dtype(sdtype).name,
-            "irls_iters": int(iters),
-            "score": float(score),
-            "weights": w[:m],
             "solved_views": order[f:],
         }
+        if lazy:
+            self._pending = (order, f, n, res)
+            stats["lazy"] = True
+            return stats
+
+        Q_out, w, iters, score = jax.device_get(res)  # one bundled fetch
+        self._Q[order[f:]] = Q_out[f:n]
+        stats.update(
+            irls_iters=int(iters), score=float(score), weights=w[:m]
+        )
+        return stats
 
     # -- persistence ---------------------------------------------------------
 

@@ -306,6 +306,11 @@ class ViewGraph:
     # -- solver bridge / persistence ----------------------------------------
 
     def rot_avg(self, win_size: int, **kw):
+        # lazy by default in the engine: the windowed solve's write-back
+        # overlaps the next frame's extraction/matching (it resolves at
+        # the next ra.Q access).  Pass lazy=False for the synchronous
+        # stats (iteration counts, weights).
+        kw.setdefault("lazy", True)
         return self.ra.rot_avg(win_size, **kw)
 
     def fix_pose(self, idx: int, q=None) -> None:
