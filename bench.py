@@ -506,7 +506,7 @@ def bench_incremental(n_frames=200, gt_every=20):
     from seqgen import make_sequence
     from irotavg_tpu import so3
     from irotavg_tpu.engine.viewgraph import FrameConnectionError, ViewGraph
-    from irotavg_tpu.frontend import Camera, Frame, ORBExtractor
+    from irotavg_tpu.frontend import Camera, FramePrefetcher, ORBExtractor
 
     # out-and-back trajectory (stays inside the textured scene for the
     # whole run; a straight pan walks off the synthetic world after ~150
@@ -517,18 +517,21 @@ def bench_incremental(n_frames=200, gt_every=20):
                  width=640, height=480)
     ext = ORBExtractor(n_features=1000, n_levels=8)
     vg = ViewGraph(cam, min_matches=50)
+    pf = FramePrefetcher(frames, ext, cam, batch=8)
 
     stage = {"frame_s": 0.0, "process_s": 0.0, "rotavg_s": 0.0}
     rotavg_ms = []
     kept = []
-    dropped = 0
+    view_ids = []   # view index per kept frame: a FrameConnectionError
+    dropped = 0     # frame is still appended to vg.frames/ra, so slicing
+                    # ra.Q[:num_views] would misalign with `kept`
     half_mark = None
     t_start = time.perf_counter()
-    for i, im in enumerate(frames):
+    for i in range(n_frames):
         if i == n_frames // 2:
             half_mark = time.perf_counter()
         t0 = time.perf_counter()
-        f = Frame(i, im, ext, cam)
+        f = pf.frame(i)
         stage["frame_s"] += time.perf_counter() - t0
         t0 = time.perf_counter()
         try:
@@ -542,6 +545,7 @@ def bench_incremental(n_frames=200, gt_every=20):
         if not ok:
             continue
         kept.append(i)
+        view_ids.append(vg.num_views - 1)
         fixed = False
         if i % gt_every == 0:
             q_gt = np.asarray(so3.rotmat_to_quat(R_gt[i]))
@@ -557,7 +561,7 @@ def bench_incremental(n_frames=200, gt_every=20):
     total_s = time.perf_counter() - t_start
     steady_s = time.perf_counter() - half_mark
 
-    q_est = vg.ra.Q[: vg.num_views]
+    q_est = vg.ra.Q[view_ids]
     q_gt = np.stack([np.asarray(so3.rotmat_to_quat(R_gt[i])) for i in kept])
     qa = so3.qmul(q_est, np.tile(so3.qinv_flipw(q_est[0]), (len(q_est), 1)))
     qb = so3.qmul(q_gt, np.tile(so3.qinv_flipw(q_gt[0]), (len(q_gt), 1)))

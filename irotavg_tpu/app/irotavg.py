@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="save per-keyframe match images (PNG) to DIR — "
                         "headless equivalent of the reference's GUI "
                         "windows (src/IRotAvg.cpp:93-107)")
+    p.add_argument("--prefetch", type=int, default=8, metavar="B",
+                   help="look-ahead batched extraction width (frames per "
+                        "device program); 0/1 extracts per frame like the "
+                        "reference.  Engine decisions are identical either "
+                        "way — only when extraction compute runs moves.")
     return p
 
 
@@ -75,7 +80,9 @@ def main(argv=None) -> int:
     from irotavg_tpu import so3
     from irotavg_tpu.config import PipelineConfig, load_settings
     from irotavg_tpu.engine.viewgraph import FrameConnectionError, ViewGraph
-    from irotavg_tpu.frontend import Camera, Frame, ORBExtractor
+    from irotavg_tpu.frontend import (
+        Camera, Frame, FramePrefetcher, ORBExtractor,
+    )
     from irotavg_tpu.utils import (
         SequenceLoader, StageTimer, device_trace, load_gray,
     )
@@ -150,29 +157,51 @@ def main(argv=None) -> int:
         selected_frames = [int(v) for v in extra["selected_frames"]]
         print(f"resumed at source frame {skip_until} "
               f"({vg.num_views} keyframes)")
+    # enumerate the frames the loop will process (sampling + resume skip)
+    # up front, keeping the reference's 1-based running count per frame —
+    # this is what lets extraction run as batched look-ahead programs
+    todo: list[tuple[int, str]] = []
+    for count, (_ts, impath) in enumerate(loader):
+        if count < skip_until or count % cfg.sampling_step != 0:
+            continue
+        todo.append((count + 1, impath))
+    count = skip_until   # advances to each processed frame's 1-based count
+                         # (the resume cursor written into checkpoints)
+
+    if todo and camera is None:
+        im0 = load_gray(todo[0][1])
+        camera = Camera(
+            fx=cam_cfg.fx, fy=cam_cfg.fy, cx=cam_cfg.cx, cy=cam_cfg.cy,
+            k1=cam_cfg.k1, k2=cam_cfg.k2, p1=cam_cfg.p1, p2=cam_cfg.p2,
+            width=im0.shape[1], height=im0.shape[0],
+        )
+    if vg is None and camera is not None:
+        vg = ViewGraph(camera, min_matches=cfg.vg_min_matches)
+
+    # keep_image (match plotting) needs the raw pixels on the Frame, which
+    # the batched path does not retain — fall back to per-frame extraction
+    use_prefetch = args.prefetch > 1 and args.plot_matches is None
+    if use_prefetch:
+        pf = FramePrefetcher(
+            [(lambda p=impath: load_gray(p)) for _, impath in todo],
+            extractor, camera, batch=args.prefetch, vocab=vocab,
+        )
+
     with device_trace(args.trace_dir):
-        for _ts, impath in loader:
-            if count < skip_until or count % cfg.sampling_step != 0:
-                count += 1
-                continue
-            count += 1
+        for k, (count1, impath) in enumerate(todo):
             if args.max_frames is not None and frame_id >= args.max_frames:
                 break
+            count = count1
 
             with timer.stage("frame_creation"):
-                image = load_gray(impath)
-                if camera is None:
-                    camera = Camera(
-                        fx=cam_cfg.fx, fy=cam_cfg.fy,
-                        cx=cam_cfg.cx, cy=cam_cfg.cy,
-                        k1=cam_cfg.k1, k2=cam_cfg.k2,
-                        p1=cam_cfg.p1, p2=cam_cfg.p2,
-                        width=image.shape[1], height=image.shape[0],
-                    )
-                    vg = ViewGraph(camera, min_matches=cfg.vg_min_matches)
-                frame = Frame(frame_id, image, extractor, camera,
-                              vocab=vocab,
-                              keep_image=args.plot_matches is not None)
+                if use_prefetch:
+                    frame = pf.frame(k)
+                    frame.id = frame_id
+                else:
+                    image = load_gray(impath)
+                    frame = Frame(frame_id, image, extractor, camera,
+                                  vocab=vocab,
+                                  keep_image=args.plot_matches is not None)
 
             with timer.stage("frame_processing"):
                 try:
@@ -185,7 +214,7 @@ def main(argv=None) -> int:
                 if not selected:
                     print(f"skipping frame - local rad = {vg.local_rad}\n")
                     continue
-                selected_frames.append(count)
+                selected_frames.append(count1)
                 view_id = vg.num_views - 1
 
                 if args.plot_matches is not None and view_id > 0:
@@ -238,7 +267,7 @@ def main(argv=None) -> int:
                     from irotavg_tpu.engine.checkpoint import save_checkpoint
 
                     save_checkpoint(vg, ckpt_path, extra={
-                        "count": count,
+                        "count": count1,
                         "frame_id": frame_id + 1,
                         "selected_frames": selected_frames,
                     })

@@ -28,7 +28,6 @@ import dataclasses
 from functools import lru_cache
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from irotavg_tpu import so3
@@ -128,8 +127,15 @@ class IncrementalRotAvg:
 
     @Q.setter
     def Q(self, value) -> None:
-        self._pending = None
+        # Wholesale assignment supersedes any in-flight lazy solve: the
+        # new state is authoritative (the checkpoint-restore path), so the
+        # pending result is deliberately discarded, not resolved into it.
+        self.discard_pending()
         self._Q = value
+
+    def discard_pending(self) -> None:
+        """Drop an in-flight lazy solve without writing it back."""
+        self._pending = None
 
     # -- graph construction -------------------------------------------------
 
@@ -250,10 +256,10 @@ class IncrementalRotAvg:
             m_pad, n_pad, l1_iters, irls_iters, float(sigma),
             float(change_th), cost, np.dtype(sdtype).name, backend,
         )
-        res = solve(
-            jnp.asarray(edges_p), jnp.asarray(QQ_p), jnp.asarray(Q_p),
-            jnp.asarray(f, jnp.int32), jnp.asarray(emask), jnp.asarray(nmask),
-        )
+        # numpy inputs go straight to the jitted call: the transfers ride
+        # the dispatch; explicit per-array `jnp.asarray` would be one
+        # device op each through the tunnel
+        res = solve(edges_p, QQ_p, Q_p, np.int32(f), emask, nmask)
         stats = {
             "m": m,
             "n": n,

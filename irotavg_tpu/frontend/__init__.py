@@ -9,4 +9,5 @@ frames are fixed-capacity arrays with validity masks.
 from irotavg_tpu.frontend.orb import ORBExtractor, OrbParams  # noqa: F401
 from irotavg_tpu.frontend.camera import Camera  # noqa: F401
 from irotavg_tpu.frontend.frame import Frame  # noqa: F401
+from irotavg_tpu.frontend.prefetch import FramePrefetcher  # noqa: F401
 from irotavg_tpu.frontend.sift import SIFTExtractor, SiftParams  # noqa: F401

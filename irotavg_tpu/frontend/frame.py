@@ -59,7 +59,22 @@ class Frame:
         # opt-in (utils/viz.plot_matches) to keep memory flat.
         self.image = np.asarray(image) if keep_image else None
         self.camera = camera
-        out = extractor(image)
+        self._attach(extractor(image), camera, vocab)
+
+    @classmethod
+    def from_extracted(cls, frame_id: int, out: dict, camera: Camera,
+                       vocab=None) -> "Frame":
+        """Build a Frame from an extractor output dict already on device
+        (the batched look-ahead path, frontend/prefetch.py) — same
+        attribute contract as the constructor, no extraction dispatch."""
+        self = cls.__new__(cls)
+        self.id = frame_id
+        self.image = None
+        self.camera = camera
+        self._attach(out, camera, vocab)
+        return self
+
+    def _attach(self, out: dict, camera: Camera, vocab) -> None:
         self._device = {
             "x": out["x0"], "y": out["y0"], "octave": out["octave"],
             "angle": out["angle"], "response": out["response"],

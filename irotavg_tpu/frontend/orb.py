@@ -149,7 +149,10 @@ def _compiled_extractor(h: int, w: int, params: OrbParams):
     @jax.jit
     def extract(img, th_hi, th_lo):
         levels = []
-        cur = img
+        cur = img.astype(jnp.float32)   # cast on device: uint8 uploads are
+        if cur.ndim == 3:               # 4x less tunnel traffic than f32
+            cur = (0.299 * cur[..., 0] + 0.587 * cur[..., 1]
+                   + 0.114 * cur[..., 2])
         for lv in range(params.n_levels):
             if lv > 0:
                 cur = resize_bilinear(cur, *sizes[lv])
@@ -195,15 +198,13 @@ class ORBExtractor:
         return sum(self.params.level_budgets())
 
     def __call__(self, image) -> dict:
-        img = jnp.asarray(np.asarray(image), jnp.float32)
-        if img.ndim == 3:  # RGB -> gray (ITU-R BT.601, like cv::cvtColor)
-            img = (
-                0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
-            )
-        h, w = img.shape
+        # the image goes to the jitted program as-is (numpy, native dtype):
+        # the upload rides the dispatch, the f32 cast and any RGB->gray
+        # (ITU-R BT.601, like cv::cvtColor) run on device.  Host-side
+        # `jnp.asarray`/`jnp.float32` here would each be their own
+        # dispatch through the device tunnel.
+        img = np.asarray(image)
+        h, w = img.shape[:2]
         fn = _compiled_extractor(h, w, self.params)
-        return fn(
-            img,
-            jnp.float32(self.params.ini_th_fast),
-            jnp.float32(self.params.min_th_fast),
-        )
+        return fn(img, np.float32(self.params.ini_th_fast),
+                  np.float32(self.params.min_th_fast))

@@ -1,0 +1,102 @@
+"""Batched look-ahead feature extraction for sequential drivers.
+
+The incremental engine consumes frames one at a time (the keyframe gate
+and the window walk are sequential decisions), but extraction is not: a
+recorded sequence's images are all known ahead of the cursor.  Extracting
+one image per dispatch leaves the device's batch dimension empty and pays
+the per-dispatch overhead per frame; this prefetcher runs the same
+pyramid program the offline pipeline uses (`pipeline/offline.py` stage 1)
+over look-ahead batches, and hands the engine `Frame` objects whose
+feature arrays are per-frame device buffers sliced INSIDE the batched
+program (a host-side ``arr[k]`` on a device array would be its own
+dispatch per slice — B x 8 of them per batch through the tunnel).
+
+The app main loop stays step-for-step identical to the reference
+(src/IRotAvg.cpp:251-392): only *when* extraction compute runs moves.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from irotavg_tpu.frontend.frame import Frame
+
+
+@lru_cache(maxsize=8)
+def _batched_extractor(h: int, w: int, batch: int, params):
+    import jax
+
+    from irotavg_tpu.frontend.orb import _compiled_extractor
+
+    single = _compiled_extractor(h, w, params)
+
+    @jax.jit
+    def run(imgs, th_hi, th_lo):
+        out = jax.vmap(lambda im: single(im, th_hi, th_lo))(imgs)
+        # split into per-frame pytrees inside the program: each frame's
+        # arrays come back as separate output buffers, so downstream
+        # consumers never slice a batched device array op-by-op
+        return tuple(
+            jax.tree.map(lambda a: a[b], out) for b in range(batch)
+        )
+
+    return run
+
+
+class FramePrefetcher:
+    """Look-ahead batched extraction over a recorded image sequence.
+
+    ``images`` is a sequence of arrays or callables returning arrays
+    (lazy disk loading).  ``frame(i)`` returns the :class:`Frame` for
+    image ``i``; the batch containing ``i`` is extracted on demand and
+    the NEXT batch is dispatched eagerly, so its device compute overlaps
+    the engine's matching/solving for the current batch.
+    """
+
+    def __init__(self, images, extractor, camera, *, batch: int = 8,
+                 vocab=None):
+        self.images = images
+        self.extractor = extractor
+        self.camera = camera
+        self.batch = int(batch)
+        self.vocab = vocab
+        self._cache: dict[int, dict] = {}   # frame id -> device dict
+        self._dispatched: set[int] = set()  # batch lo marks
+
+    def _dispatch(self, lo: int) -> None:
+        if lo in self._dispatched or lo >= len(self.images):
+            return
+        self._dispatched.add(lo)
+        hi = min(lo + self.batch, len(self.images))
+        imgs = np.stack([
+            np.asarray(self.images[i]() if callable(self.images[i])
+                       else self.images[i])
+            for i in range(lo, hi)
+        ])
+        if hi - lo < self.batch:   # pad tail to reuse the executable
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[-1:], self.batch - (hi - lo), axis=0)]
+            )
+        run = _batched_extractor(imgs.shape[1], imgs.shape[2], self.batch,
+                                 self.extractor.params)
+        outs = run(imgs, np.float32(self.extractor.params.ini_th_fast),
+                   np.float32(self.extractor.params.min_th_fast))
+        for k in range(hi - lo):
+            self._cache[lo + k] = outs[k]
+
+    def frame(self, i: int) -> Frame:
+        lo = i - (i % self.batch)
+        if i not in self._cache:
+            self._dispatch(lo)
+        self._dispatch(lo + self.batch)    # eager look-ahead
+        out = self._cache.pop(i)
+        return Frame.from_extracted(i, out, self.camera, vocab=self.vocab)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def __iter__(self):
+        for i in range(len(self.images)):
+            yield self.frame(i)

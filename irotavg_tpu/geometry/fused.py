@@ -11,6 +11,16 @@ state (E, R, t, match assignment, search radius) living on device.
 Assignment-vector convention: matches are carried as ``m12: (N1,) int32``
 (row -> column index or -1), never as dynamic-length pair lists, so every
 shape is static.
+
+Dispatch discipline: on a device behind a network link EVERY op executed
+outside jit (a ``jnp.stack`` of device arrays, a ``jax.random.key``, a
+``jnp.zeros``) is its own dispatch costing a ~26 ms round trip — an
+order of magnitude more than these programs' device time.  So the fused
+entry points take plain ``seed`` scalars (the PRNG key is created inside
+the program), accept ``None`` for absent node arrays (zeros are
+materialised in-program), and `fused_refine_window` takes the window
+candidates as an UNSTACKED tuple of per-frame arrays, stacking on
+device inside the program.
 """
 
 from __future__ import annotations
@@ -128,7 +138,7 @@ def fused_refine(bits1, nodes1, valid1, angle1, x1, y1, oct1,
 )
 def fused_initial_pose(bits_c, valid_c, oct_c, x_c, y_c,
                        bits_pt, valid_p, oct_p, x_p, y_p,
-                       local_rad0, cam, th_norm, key,
+                       local_rad0, cam, th_norm, seed,
                        min_inliers, nnratio, *, max_trials=6,
                        n_samples=512):
     """`findInitialPose`'s adaptive-radius search as one device program
@@ -139,11 +149,14 @@ def fused_initial_pose(bits_c, valid_c, oct_c, x_c, y_c,
     displacement, and accepts once cheirality inliers exceed
     ``min_inliers`` (the caller passes 2*min_matches).  The returned
     assignment maps current-frame rows to previous-frame columns; the
-    recovered pose maps previous -> current.
+    recovered pose maps previous -> current.  ``seed`` is a plain uint32
+    scalar; the PRNG key is created in-program (a host-side
+    ``jax.random.key`` is its own dispatch on a tunneled device).
 
     Returns (E, R, t, n_che, m12, local_rad, rel_valid, accepted).
     """
     f32 = jnp.float32
+    key = jax.random.key(jnp.asarray(seed, jnp.uint32))
 
     def cond(st):
         return (~st[0]) & (st[10] < max_trials)
@@ -334,10 +347,10 @@ def fused_pair_estimate(bitsA, validA, octA, xA, yA, angleA,
 def fused_refine_window(
     bits_c, nodes_c, valid_c, angle_c, x_c, y_c, oct_c,
     bits_p, nodes_p, valid_p, angle_p, x_p, y_p, oct_p,
-    bits_w, nodes_w, valid_w, angle_w, x_w, y_w, oct_w,
+    cands,
     m12_w2p, active_w,
     E0, R0, t0, m12_cp,
-    K_inv, sigma2, cam, th_norm, key, min_matches,
+    K_inv, sigma2, cam, th_norm, seed, min_matches,
     *, has_nodes, n_samples=512,
 ):
     """Everything `processFrame` does AFTER the keyframe gate, as one
@@ -353,15 +366,36 @@ def fused_refine_window(
     local_rad), and accepted frames pay exactly one more dispatch for
     this program — down from the previous three per accepted frame.
 
+    ``cands`` is an UNSTACKED tuple of per-candidate frame tuples
+    ``(bits, nodes, valid, angle, x, y, octave)`` (``nodes`` may be
+    ``None`` when ``has_nodes`` is False); the stack happens on device
+    inside this program — a host-side ``jnp.stack`` of K x 7 device
+    arrays is ~20 separate dispatches through the tunnel, an order of
+    magnitude more wall time than this whole program's device compute.
+
     ``m12_cp`` is the initial pose's current-row -> previous-column
-    assignment (as fetched); the flip to previous -> current, the refine
-    seed, and the chain composition through the *refined* assignment all
-    stay on device.
+    assignment (the device output of `fused_initial_pose`, passed
+    through without a host round trip); the flip to previous -> current,
+    the refine seed, and the chain composition through the *refined*
+    assignment all stay on device.
 
     Returns ``(refined, window)``:
       refined = (E_r, R_r, t_r, n_r, m12_pc)   # prev row -> curr col
       window  = (E_w, R_w, t_w, n_w, m12_w, success_w)  # leading axis K
     """
+    key = jax.random.key(jnp.asarray(seed, jnp.uint32))
+    n_feat = x_c.shape[0]
+    zeros = jnp.zeros((n_feat,), jnp.int32)
+    if not has_nodes:
+        nodes_c = nodes_p = zeros
+    bits_w = jnp.stack([c[0] for c in cands])
+    nodes_w = (jnp.stack([c[1] for c in cands]) if has_nodes
+               else jnp.zeros((len(cands), n_feat), jnp.int32))
+    valid_w = jnp.stack([c[2] for c in cands])
+    angle_w = jnp.stack([c[3] for c in cands])
+    x_w = jnp.stack([c[4] for c in cands])
+    y_w = jnp.stack([c[5] for c in cands])
+    oct_w = jnp.stack([c[6] for c in cands])
     # current->previous assignment flipped to previous->current (the
     # orientation refine and the pivot chain use).  Duplicate targets:
     # one writer wins, like the host's vectorised assignment did.

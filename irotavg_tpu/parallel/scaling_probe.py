@@ -116,13 +116,18 @@ def main(argv=None):
         }
 
     t1 = results[counts[0]]["solve_s"]
+    on_cpu_mesh = jax.devices()[0].platform == "cpu"
     for d in counts:
         td = results[d]["solve_s"]
         results[d]["speedup_vs_1dev"] = round(t1 / td, 3)
         results[d]["parallel_efficiency"] = round(t1 / (d * td), 3)
-        # constant-work ratio: ~1.0 means the distributed program adds no
-        # overhead over the 1-device run (see module docstring)
-        results[d]["work_conservation"] = round(t1 / td, 3)
+        if on_cpu_mesh:
+            # constant-work ratio: ~1.0 means the distributed program adds
+            # no overhead over the 1-device run (see module docstring).
+            # Only meaningful on the timeshared virtual mesh — on real
+            # chips t1/td is genuine speedup, and reporting it under this
+            # name would contradict the "~1 is healthy" interpretation.
+            results[d]["work_conservation"] = round(t1 / td, 3)
 
     out = {
         "platform": jax.devices()[0].platform,

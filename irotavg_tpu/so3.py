@@ -4,9 +4,14 @@ Conventions follow the reference solver (ral/l1_irls.hpp:43-51): quaternions
 are stored row-wise as ``[x, y, z, w]`` in ``(n, 4)`` arrays, Hamilton product,
 rotation composition ``R(qmul(a, b)) = R(a) @ R(b)``.
 
-Everything here is pure ``jnp``, shape-polymorphic over leading batch axes, and
-safe under ``jit``/``vmap``/``grad`` (divide-by-zero guarded with ``where``,
-not NaN-scrubbing).
+Everything here is shape-polymorphic over leading batch axes and safe under
+``jit``/``vmap``/``grad`` (divide-by-zero guarded with ``where``, not
+NaN-scrubbing).  The kernels are **namespace-polymorphic**: fed numpy
+arrays they compute in numpy and return numpy — on a device behind a
+network tunnel every op-by-op ``jnp`` call from host bookkeeping code is
+its own ~25 ms dispatch, so host-side quaternion math (the engine's
+edge/warm-start plumbing) must never touch the device.  Fed jax arrays
+(or called under jit) they compute in ``jnp`` exactly as before.
 
 Reference parity notes:
   * ``qinv_flipw`` reproduces the reference's inverse-by-negating-w quirk
@@ -21,9 +26,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Machine-epsilon guard used by the reference (ral/l1_irls.hpp:39).
 EPS = 2.2204e-16
+
+
+def _ns(*xs):
+    """numpy unless any input is a jax array/tracer (see module doc)."""
+    return jnp if any(isinstance(x, jax.Array) for x in xs) else np
 
 __all__ = [
     "EPS",
@@ -55,9 +66,10 @@ def qmul(q1, q2):
     Matches ``quat_mult`` (ral/l1_irls.cpp:99-105): composition order is
     ``R(qmul(q1, q2)) = R(q1) @ R(q2)``.
     """
-    x1, y1, z1, w1 = jnp.moveaxis(q1, -1, 0)
-    x2, y2, z2, w2 = jnp.moveaxis(q2, -1, 0)
-    return jnp.stack(
+    xp = _ns(q1, q2)
+    x1, y1, z1, w1 = xp.moveaxis(q1, -1, 0)
+    x2, y2, z2, w2 = xp.moveaxis(q2, -1, 0)
+    return xp.stack(
         [
             w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
             w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
@@ -70,7 +82,8 @@ def qmul(q1, q2):
 
 def qconj(q):
     """Proper conjugate ``[-x, -y, -z, w]``."""
-    return q * jnp.asarray([-1.0, -1.0, -1.0, 1.0], dtype=q.dtype)
+    xp = _ns(q)
+    return q * xp.asarray([-1.0, -1.0, -1.0, 1.0], dtype=q.dtype)
 
 
 def qinv_flipw(q):
@@ -79,13 +92,15 @@ def qinv_flipw(q):
     Same rotation as the true inverse by the double cover; used where the
     reference negates col 3 (ral/l1_irls.cpp:115-116).
     """
-    return q * jnp.asarray([1.0, 1.0, 1.0, -1.0], dtype=q.dtype)
+    xp = _ns(q)
+    return q * xp.asarray([1.0, 1.0, 1.0, -1.0], dtype=q.dtype)
 
 
 def qnormalize(q, eps=0.0):
     """Normalise quaternion rows to unit norm."""
-    n = jnp.linalg.norm(q, axis=-1, keepdims=True)
-    return q / jnp.maximum(n, jnp.asarray(max(eps, 1e-300), dtype=q.dtype))
+    xp = _ns(q)
+    n = xp.linalg.norm(q, axis=-1, keepdims=True)
+    return q / xp.maximum(n, xp.asarray(max(eps, 1e-300), dtype=q.dtype))
 
 
 def exp_map(v):
@@ -95,12 +110,13 @@ def exp_map(v):
     Zero-angle rows map to identity (the reference gets there by scrubbing
     NaNs, ral/l1_irls.cpp:471-492; we use a guarded ``where``).
     """
+    xp = _ns(v)
     v = v[..., :3]
-    theta = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    theta = xp.linalg.norm(v, axis=-1, keepdims=True)
     half = 0.5 * theta
-    safe_theta = jnp.where(theta > 0, theta, 1.0)
-    coef = jnp.where(theta > 0, jnp.sin(half) / safe_theta, 0.0)
-    return jnp.concatenate([v * coef, jnp.cos(half)], axis=-1)
+    safe_theta = xp.where(theta > 0, theta, 1.0)
+    coef = xp.where(theta > 0, xp.sin(half) / safe_theta, 0.0)
+    return xp.concatenate([v * coef, xp.cos(half)], axis=-1)
 
 
 def log_map(q):
@@ -110,15 +126,16 @@ def log_map(q):
     Matches ral/l1_irls.cpp:498-532: ``theta = 2*atan2(|xyz|, w)`` then wrap;
     rows with ``|xyz| < EPS`` produce a zero tangent vector.
     """
+    xp = _ns(q)
     xyz = q[..., :3]
     w = q[..., 3]
-    s2 = jnp.linalg.norm(xyz, axis=-1)
-    theta = 2.0 * jnp.arctan2(s2, w)
-    theta = jnp.where(theta < -jnp.pi, theta + 2.0 * jnp.pi, theta)
-    theta = jnp.where(theta >= jnp.pi, theta - 2.0 * jnp.pi, theta)
-    safe_s2 = jnp.where(s2 < EPS, 1.0, s2)
-    scale = jnp.where(s2 < EPS, 0.0, theta / safe_s2)
-    return jnp.concatenate(
+    s2 = xp.linalg.norm(xyz, axis=-1)
+    theta = 2.0 * xp.arctan2(s2, w)
+    theta = xp.where(theta < -xp.pi, theta + 2.0 * xp.pi, theta)
+    theta = xp.where(theta >= xp.pi, theta - 2.0 * xp.pi, theta)
+    safe_s2 = xp.where(s2 < EPS, 1.0, s2)
+    scale = xp.where(s2 < EPS, 0.0, theta / safe_s2)
+    return xp.concatenate(
         [xyz * scale[..., None], theta[..., None]], axis=-1
     )
 
@@ -138,11 +155,12 @@ def delta_rel(edges, QQ, Q):
 def quat_to_rotmat(q):
     """Unit quaternion rows ``[x y z w]`` -> rotation matrices ``(..., 3, 3)``
     with the convention ``R(qmul(a,b)) = R(a) @ R(b)``."""
-    x, y, z, w = jnp.moveaxis(q, -1, 0)
+    xp = _ns(q)
+    x, y, z, w = xp.moveaxis(q, -1, 0)
     xx, yy, zz = x * x, y * y, z * z
     xy, xz, yz = x * y, x * z, y * z
     wx, wy, wz = w * x, w * y, w * z
-    r = jnp.stack(
+    r = xp.stack(
         [
             1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
             2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
@@ -160,6 +178,7 @@ def rotmat_to_quat(R):
     candidate formulas (behavioural parity with ``rmat2quat``,
     src/ViewGraph.cpp:1175-1203), vectorised over leading axes.
     """
+    xp = _ns(R)
     m00 = R[..., 0, 0]
     m11 = R[..., 1, 1]
     m22 = R[..., 2, 2]
@@ -167,54 +186,55 @@ def rotmat_to_quat(R):
 
     # Four candidate (w, x, y, z) tuples, each scaled by its 4*q_k.
     def cand_w():
-        s = jnp.sqrt(jnp.maximum(1.0 + tr, 0.0)) * 2.0  # s = 4w
+        s = xp.sqrt(xp.maximum(1.0 + tr, 0.0)) * 2.0  # s = 4w
         w = 0.25 * s
-        x = (R[..., 2, 1] - R[..., 1, 2]) / jnp.where(s > 0, s, 1.0)
-        y = (R[..., 0, 2] - R[..., 2, 0]) / jnp.where(s > 0, s, 1.0)
-        z = (R[..., 1, 0] - R[..., 0, 1]) / jnp.where(s > 0, s, 1.0)
-        return jnp.stack([x, y, z, w], axis=-1)
+        x = (R[..., 2, 1] - R[..., 1, 2]) / xp.where(s > 0, s, 1.0)
+        y = (R[..., 0, 2] - R[..., 2, 0]) / xp.where(s > 0, s, 1.0)
+        z = (R[..., 1, 0] - R[..., 0, 1]) / xp.where(s > 0, s, 1.0)
+        return xp.stack([x, y, z, w], axis=-1)
 
     def cand_x():
-        s = jnp.sqrt(jnp.maximum(1.0 + m00 - m11 - m22, 0.0)) * 2.0  # 4x
+        s = xp.sqrt(xp.maximum(1.0 + m00 - m11 - m22, 0.0)) * 2.0  # 4x
         x = 0.25 * s
-        d = jnp.where(s > 0, s, 1.0)
+        d = xp.where(s > 0, s, 1.0)
         w = (R[..., 2, 1] - R[..., 1, 2]) / d
         y = (R[..., 0, 1] + R[..., 1, 0]) / d
         z = (R[..., 0, 2] + R[..., 2, 0]) / d
-        return jnp.stack([x, y, z, w], axis=-1)
+        return xp.stack([x, y, z, w], axis=-1)
 
     def cand_y():
-        s = jnp.sqrt(jnp.maximum(1.0 - m00 + m11 - m22, 0.0)) * 2.0  # 4y
+        s = xp.sqrt(xp.maximum(1.0 - m00 + m11 - m22, 0.0)) * 2.0  # 4y
         y = 0.25 * s
-        d = jnp.where(s > 0, s, 1.0)
+        d = xp.where(s > 0, s, 1.0)
         w = (R[..., 0, 2] - R[..., 2, 0]) / d
         x = (R[..., 0, 1] + R[..., 1, 0]) / d
         z = (R[..., 1, 2] + R[..., 2, 1]) / d
-        return jnp.stack([x, y, z, w], axis=-1)
+        return xp.stack([x, y, z, w], axis=-1)
 
     def cand_z():
-        s = jnp.sqrt(jnp.maximum(1.0 - m00 - m11 + m22, 0.0)) * 2.0  # 4z
+        s = xp.sqrt(xp.maximum(1.0 - m00 - m11 + m22, 0.0)) * 2.0  # 4z
         z = 0.25 * s
-        d = jnp.where(s > 0, s, 1.0)
+        d = xp.where(s > 0, s, 1.0)
         w = (R[..., 1, 0] - R[..., 0, 1]) / d
         x = (R[..., 0, 2] + R[..., 2, 0]) / d
         y = (R[..., 1, 2] + R[..., 2, 1]) / d
-        return jnp.stack([x, y, z, w], axis=-1)
+        return xp.stack([x, y, z, w], axis=-1)
 
     qw, qx, qy, qz = cand_w(), cand_x(), cand_y(), cand_z()
     # Pick by largest of (tr, m00, m11, m22), mirroring the classic branch.
     use_w = (tr > 0)[..., None]
     use_x = ((m00 >= m11) & (m00 >= m22))[..., None]
     use_y = (m11 >= m22)[..., None]
-    q = jnp.where(use_w, qw, jnp.where(use_x, qx, jnp.where(use_y, qy, qz)))
+    q = xp.where(use_w, qw, xp.where(use_x, qx, xp.where(use_y, qy, qz)))
     return qnormalize(q)
 
 
 def qangle(q):
     """Rotation angle in radians of quaternion rows, in [0, pi]."""
-    xyz = jnp.linalg.norm(q[..., :3], axis=-1)
-    w = jnp.abs(q[..., 3])
-    return 2.0 * jnp.arctan2(xyz, w)
+    xp = _ns(q)
+    xyz = xp.linalg.norm(q[..., :3], axis=-1)
+    w = xp.abs(q[..., 3])
+    return 2.0 * xp.arctan2(xyz, w)
 
 
 def qgeodesic(q1, q2):
