@@ -271,6 +271,15 @@ class IncrementalRotAvg:
             "solved_views": order[f:],
         }
         if lazy:
+            # start the device->host transfer now, in the background: by
+            # the time the next keyframe resolves this solve, the bytes
+            # are already host-side and device_get is a local copy rather
+            # than a fresh ~26 ms tunnel round trip
+            for a in res:
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:  # non-array leaf / older jax
+                    pass
             self._pending = (order, f, n, res)
             stats["lazy"] = True
             return stats

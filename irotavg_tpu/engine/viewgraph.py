@@ -111,19 +111,17 @@ class ViewGraph:
     def process_frame(self, frame, win_size: int = 4) -> bool:
         """Ingest a frame; returns False when rejected (not a keyframe).
 
-        Two device programs per accepted frame, one per rejected frame
-        (src/ViewGraph.cpp:1035-1145): `fused_initial_pose` decides the
-        5 px keyframe gate; accepted frames then run epipolar refine +
-        the pivot-chained window walk fused into one program
-        (`geometry/fused.py:fused_refine_window`).  Host keeps only the
-        decisions: the gate, connect bookkeeping, and the
-        stop-at-first-failure window walk.
+        ONE device program + ONE bundled fetch per frame
+        (src/ViewGraph.cpp:1035-1145): `fused_process_frame` runs the
+        adaptive initial pose, decides the 5 px keyframe gate on device
+        (``lax.cond`` — rejected frames skip the refine/window compute),
+        and for accepted frames runs the epipolar refine + pivot-chained
+        window walk.  Host keeps only the decisions: the gate, connect
+        bookkeeping, and the stop-at-first-failure window walk.
         """
         import jax
 
-        from irotavg_tpu.geometry.fused import (
-            fused_initial_pose, fused_refine_window,
-        )
+        from irotavg_tpu.geometry.fused import fused_process_frame
 
         if self.num_views == 0:
             self.frames.append(frame)
@@ -136,25 +134,6 @@ class ViewGraph:
         n = frame.capacity
         assert prev.capacity == n, "mixed frame capacities"
         c = self._consts()
-
-        # phase 1: adaptive-radius initial pose -> keyframe gate.
-        # Device outputs are KEPT on device (phase 2 consumes them
-        # directly); only the two gate scalars round-trip to the host.
-        E0, R0, t0, n0, m12_cp, local_rad_d, rel_valid_d, _ = (
-            fused_initial_pose(
-                frame.pm1, frame.dev("valid"), frame.dev("octave"),
-                frame.dev("xu"), frame.dev("yu"),
-                prev.pm1.T, prev.dev("valid"), prev.dev("octave"),
-                prev.dev("xu"), prev.dev("yu"),
-                np.float32(self.local_rad), c["camv"], c["th_norm"],
-                np.uint32(self.num_views),
-                np.int32(2 * self.min_matches), np.float32(0.9),
-            )
-        )
-        local_rad, rel_valid = jax.device_get((local_rad_d, rel_valid_d))
-        self.local_rad = float(local_rad)
-        if self.local_rad < 5.0:
-            return False                       # keyframe gate (:1071-1074)
 
         # window candidates, padded to a fixed K so every fill level
         # shares one executable (padded slots repeat candidate 0, inactive)
@@ -188,27 +167,31 @@ class ViewGraph:
         def nodes(f):
             return f.dev("feat_nodes") if has_nodes else None
 
-        # phase 2: refine + window walk (accepted frames only) — one
-        # dispatch, one bundled fetch.  Candidate frames go in unstacked
-        # (the stack happens inside the program; see fused_refine_window),
-        # phase-1 results go in as device refs, host inputs as numpy.
-        refined, window = jax.device_get(fused_refine_window(
-            frame.pm1, nodes(frame), frame.dev("valid"), frame.dev("angle"),
-            frame.dev("xu"), frame.dev("yu"), frame.dev("octave"),
-            prev.pm1, nodes(prev), prev.dev("valid"), prev.dev("angle"),
-            prev.dev("xu"), prev.dev("yu"), prev.dev("octave"),
-            tuple(
-                (f.pm1, nodes(f), f.dev("valid"), f.dev("angle"),
-                 f.dev("xu"), f.dev("yu"), f.dev("octave"))
-                for f in fr
-            ),
-            m12_w2p, active,
-            E0, R0, t0, m12_cp,
-            c["K_inv"], c["sigma2"], c["camv"], c["th_norm"],
-            np.uint32((self.num_views * 7919 + 17) & 0xFFFFFFFF),
-            np.int32(self.min_matches),
-            has_nodes=has_nodes,
-        ))
+        local_rad, rel_valid, refined, window = jax.device_get(
+            fused_process_frame(
+                frame.pm1, nodes(frame), frame.dev("valid"),
+                frame.dev("angle"), frame.dev("xu"), frame.dev("yu"),
+                frame.dev("octave"),
+                prev.pm1, nodes(prev), prev.dev("valid"),
+                prev.dev("angle"), prev.dev("xu"), prev.dev("yu"),
+                prev.dev("octave"),
+                tuple(
+                    (f.pm1, nodes(f), f.dev("valid"), f.dev("angle"),
+                     f.dev("xu"), f.dev("yu"), f.dev("octave"))
+                    for f in fr
+                ),
+                m12_w2p, active,
+                np.float32(self.local_rad),
+                c["K_inv"], c["sigma2"], c["camv"], c["th_norm"],
+                np.uint32(self.num_views),
+                np.int32(self.min_matches),
+                np.int32(2 * self.min_matches), np.float32(0.9),
+                has_nodes=has_nodes,
+            )
+        )
+        self.local_rad = float(local_rad)
+        if self.local_rad < 5.0:
+            return False                       # keyframe gate (:1071-1074)
         E_r, R_r, t_r, n_r, m12_pc = refined
         E_w, R_w, t_w, n_w, m12_w, succ_w = window
 

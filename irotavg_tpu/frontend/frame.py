@@ -63,15 +63,21 @@ class Frame:
 
     @classmethod
     def from_extracted(cls, frame_id: int, out: dict, camera: Camera,
-                       vocab=None) -> "Frame":
+                       vocab=None, bow_nid=None) -> "Frame":
         """Build a Frame from an extractor output dict already on device
         (the batched look-ahead path, frontend/prefetch.py) — same
-        attribute contract as the constructor, no extraction dispatch."""
+        attribute contract as the constructor, no extraction dispatch.
+
+        ``bow_nid``: precomputed ``(bow, feat_nodes)`` from a batched
+        vocabulary descent; when given, ``vocab`` is not consulted (the
+        per-frame transform would cost a blocking device fetch)."""
         self = cls.__new__(cls)
         self.id = frame_id
         self.image = None
         self.camera = camera
-        self._attach(out, camera, vocab)
+        self._attach(out, camera, None if bow_nid is not None else vocab)
+        if bow_nid is not None:
+            self.bow, self.feat_nodes = bow_nid
         return self
 
     def _attach(self, out: dict, camera: Camera, vocab) -> None:

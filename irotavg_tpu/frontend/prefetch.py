@@ -45,6 +45,39 @@ def _batched_extractor(h: int, w: int, batch: int, params):
     return run
 
 
+def sample_descriptors(images, extractor, *, batch: int = 8,
+                       cap: int = 400, stride: int = 1):
+    """Valid descriptors per sampled image, via the BATCHED extractor.
+
+    For vocabulary training samplers.  Uses the same batched program as
+    :class:`FramePrefetcher` with one bundled fetch per batch — on the
+    session backend the single-image extract program exhibits a
+    pathological multi-minute first-call latency that the batched one
+    does not, so samplers must not touch it.
+    Returns a list of ``(n_i, 8)`` uint32 arrays (``n_i <= cap``).
+    """
+    import jax
+
+    sel = list(range(0, len(images), stride))
+    out = []
+    for lo in range(0, len(sel), batch):
+        ids = sel[lo:lo + batch]
+        imgs = np.stack([np.asarray(images[i]) for i in ids])
+        if len(ids) < batch:
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[-1:], batch - len(ids), axis=0)]
+            )
+        run = _batched_extractor(imgs.shape[1], imgs.shape[2], batch,
+                                 extractor.params)
+        outs = run(imgs, np.float32(extractor.params.ini_th_fast),
+                   np.float32(extractor.params.min_th_fast))
+        fetched = jax.device_get(
+            [(outs[k]["desc"], outs[k]["valid"]) for k in range(len(ids))]
+        )
+        out.extend(d[v][:cap] for d, v in fetched)
+    return out
+
+
 class FramePrefetcher:
     """Look-ahead batched extraction over a recorded image sequence.
 
@@ -83,16 +116,28 @@ class FramePrefetcher:
                                  self.extractor.params)
         outs = run(imgs, np.float32(self.extractor.params.ini_th_fast),
                    np.float32(self.extractor.params.min_th_fast))
+        bows = [None] * (hi - lo)
+        if self.vocab is not None:
+            # queue one descent per frame (async), fetch the whole batch
+            # in one bundled round trip — per-frame Vocabulary.transform
+            # blocks on its own fetch every frame
+            import jax
+
+            dev = [self.vocab.descend(outs[k]["desc"], outs[k]["valid"])
+                   for k in range(hi - lo)]
+            bows = [self.vocab.assemble(leaf, nid)
+                    for leaf, nid in jax.device_get(dev)]
         for k in range(hi - lo):
-            self._cache[lo + k] = outs[k]
+            self._cache[lo + k] = (outs[k], bows[k])
 
     def frame(self, i: int) -> Frame:
         lo = i - (i % self.batch)
         if i not in self._cache:
             self._dispatch(lo)
         self._dispatch(lo + self.batch)    # eager look-ahead
-        out = self._cache.pop(i)
-        return Frame.from_extracted(i, out, self.camera, vocab=self.vocab)
+        out, bow_nid = self._cache.pop(i)
+        return Frame.from_extracted(i, out, self.camera, vocab=self.vocab,
+                                    bow_nid=bow_nid)
 
     def __len__(self) -> int:
         return len(self.images)

@@ -155,8 +155,24 @@ def fused_initial_pose(bits_c, valid_c, oct_c, x_c, y_c,
 
     Returns (E, R, t, n_che, m12, local_rad, rel_valid, accepted).
     """
-    f32 = jnp.float32
     key = jax.random.key(jnp.asarray(seed, jnp.uint32))
+    return _initial_pose_core(
+        bits_c, valid_c, oct_c, x_c, y_c,
+        bits_pt, valid_p, oct_p, x_p, y_p,
+        local_rad0, cam, th_norm, key, min_inliers, nnratio,
+        max_trials=max_trials, n_samples=n_samples,
+    )
+
+
+def _initial_pose_core(bits_c, valid_c, oct_c, x_c, y_c,
+                       bits_pt, valid_p, oct_p, x_p, y_p,
+                       local_rad0, cam, th_norm, key,
+                       min_inliers, nnratio, *, max_trials=6,
+                       n_samples=512):
+    """Traced body of `fused_initial_pose` (key instead of seed), shared
+    with the single-program `fused_process_frame`."""
+    f32 = jnp.float32
+    local_rad0 = jnp.asarray(local_rad0)
 
     def cond(st):
         return (~st[0]) & (st[10] < max_trials)
@@ -388,6 +404,18 @@ def fused_refine_window(
     zeros = jnp.zeros((n_feat,), jnp.int32)
     if not has_nodes:
         nodes_c = nodes_p = zeros
+    w_stack = _stack_candidates(cands, n_feat, has_nodes)
+    return _refine_window_core(
+        bits_c, nodes_c, valid_c, angle_c, x_c, y_c, oct_c,
+        bits_p, nodes_p, valid_p, angle_p, x_p, y_p, oct_p,
+        w_stack, m12_w2p, active_w, E0, R0, t0, m12_cp,
+        K_inv, sigma2, cam, th_norm, key, min_matches,
+        has_nodes=has_nodes, n_samples=n_samples,
+    )
+
+
+def _stack_candidates(cands, n_feat, has_nodes):
+    """Stack the per-candidate frame tuples on device (inside a program)."""
     bits_w = jnp.stack([c[0] for c in cands])
     nodes_w = (jnp.stack([c[1] for c in cands]) if has_nodes
                else jnp.zeros((len(cands), n_feat), jnp.int32))
@@ -396,6 +424,19 @@ def fused_refine_window(
     x_w = jnp.stack([c[4] for c in cands])
     y_w = jnp.stack([c[5] for c in cands])
     oct_w = jnp.stack([c[6] for c in cands])
+    return bits_w, nodes_w, valid_w, angle_w, x_w, y_w, oct_w
+
+
+def _refine_window_core(
+    bits_c, nodes_c, valid_c, angle_c, x_c, y_c, oct_c,
+    bits_p, nodes_p, valid_p, angle_p, x_p, y_p, oct_p,
+    w_stack, m12_w2p, active_w, E0, R0, t0, m12_cp,
+    K_inv, sigma2, cam, th_norm, key, min_matches,
+    *, has_nodes, n_samples=512,
+):
+    """Traced body of `fused_refine_window` (stacked candidates + key),
+    shared with the single-program `fused_process_frame`."""
+    bits_w, nodes_w, valid_w, angle_w, x_w, y_w, oct_w = w_stack
     # current->previous assignment flipped to previous->current (the
     # orientation refine and the pivot chain use).  Duplicate targets:
     # one writer wins, like the host's vectorised assignment did.
@@ -436,6 +477,82 @@ def fused_refine_window(
     )
 
     return (E_r, R_r, t_r, n_r, m12_pc), window
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("has_nodes", "max_trials", "n_samples", "gate_px"),
+)
+def fused_process_frame(
+    bits_c, nodes_c, valid_c, angle_c, x_c, y_c, oct_c,
+    bits_p, nodes_p, valid_p, angle_p, x_p, y_p, oct_p,
+    cands, m12_w2p, active_w,
+    local_rad0, K_inv, sigma2, cam, th_norm, seed,
+    min_matches, min_inliers, nnratio,
+    *, has_nodes, max_trials=6, n_samples=512, gate_px=5.0,
+):
+    """The WHOLE per-frame device pipeline in one program: adaptive
+    initial pose, the 5 px keyframe gate, and — under ``lax.cond`` —
+    the refine + pivot-chained window walk (src/ViewGraph.cpp:1035-1145).
+
+    The gate decision runs ON DEVICE: rejected frames (~2/3 of real
+    sequences) skip the refine/window compute entirely (the cond branch
+    is not executed), and every frame costs exactly ONE dispatch + ONE
+    bundled fetch.  This supersedes the round-3 two-program split, whose
+    rationale was that an unconditionally-fused program wasted the
+    refine compute on rejected frames — ``lax.cond`` keeps the no-waste
+    property while removing the accepted frames' second round trip.
+
+    Returns ``(local_rad, rel_valid, refined, window)`` where refined /
+    window are as in `fused_refine_window` (zeros when the gate
+    rejected — the host discards them, same as not having run phase 2).
+    """
+    f32 = jnp.float32
+    key = jax.random.key(jnp.asarray(seed, jnp.uint32))
+    k1, k2 = jax.random.split(key)
+
+    n_feat = x_c.shape[0]
+    zeros = jnp.zeros((n_feat,), jnp.int32)
+    if not has_nodes:
+        nodes_c = nodes_p = zeros
+    bits_pt = jnp.swapaxes(bits_p, 0, 1)
+    E0, R0, t0, _n0, m12_cp, local_rad, rel_valid, _acc = (
+        _initial_pose_core(
+            bits_c, valid_c, oct_c, x_c, y_c,
+            bits_pt, valid_p, oct_p, x_p, y_p,
+            local_rad0, cam, th_norm, k1, min_inliers, nnratio,
+            max_trials=max_trials, n_samples=n_samples,
+        )
+    )
+    accept = local_rad >= gate_px
+
+    w_stack = _stack_candidates(cands, n_feat, has_nodes)
+    K = len(cands)
+    n_prev = x_p.shape[0]
+
+    def do_phase2(_):
+        return _refine_window_core(
+            bits_c, nodes_c, valid_c, angle_c, x_c, y_c, oct_c,
+            bits_p, nodes_p, valid_p, angle_p, x_p, y_p, oct_p,
+            w_stack, m12_w2p, active_w, E0, R0, t0, m12_cp,
+            K_inv, sigma2, cam, th_norm, k2, min_matches,
+            has_nodes=has_nodes, n_samples=n_samples,
+        )
+
+    def skip_phase2(_):
+        refined = (jnp.zeros((3, 3), f32), jnp.eye(3, dtype=f32),
+                   jnp.zeros((3,), f32), jnp.asarray(0, jnp.int32),
+                   jnp.full((n_prev,), -1, jnp.int32))
+        window = (jnp.zeros((K, 3, 3), f32),
+                  jnp.broadcast_to(jnp.eye(3, dtype=f32), (K, 3, 3)),
+                  jnp.zeros((K, 3), f32),
+                  jnp.zeros((K,), jnp.int32),
+                  jnp.full((K, n_feat), -1, jnp.int32),
+                  jnp.zeros((K,), bool))
+        return refined, window
+
+    refined, window = jax.lax.cond(accept, do_phase2, skip_phase2, None)
+    return local_rad, rel_valid, refined, window
 
 
 @jax.jit

@@ -10,6 +10,7 @@ cheirality-inlier count grows (max 10 rounds).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -47,7 +48,8 @@ def _bucket(n, lo=64):
 class _TwoViewSolver:
     n_samples: int = 1024
 
-    def __call__(self, p1, p2, valid, key, th_norm):
+    def __call__(self, p1, p2, valid, seed, th_norm):
+        key = jax.random.key(jnp.asarray(seed, jnp.uint32))
         E, inl, _ = ransac_essential(
             p1, p2, valid, key, th_norm=th_norm, n_samples=self.n_samples
         )
@@ -57,6 +59,27 @@ class _TwoViewSolver:
 
 _solver = _TwoViewSolver()
 _solve_jit = jax.jit(_solver.__call__)
+
+
+@functools.partial(jax.jit, static_argnames=("has_nodes", "max_iters"))
+def _refine_seeded(bits1, nodes1, valid1, angle1, x1, y1, oct1,
+                   bits2t, nodes2, valid2, angle2, x2, y2,
+                   E0, R0, t0, n0, m12_0, K_inv, sigma2, cam, th_norm,
+                   seed, min_pairs, *, has_nodes, max_iters):
+    """`fused_refine` behind a seed scalar (key created in-program) with
+    optional ``None`` node arrays — one dispatch from pure-numpy hosts."""
+    from irotavg_tpu.geometry.fused import fused_refine
+
+    key = jax.random.key(jnp.asarray(seed, jnp.uint32))
+    if not has_nodes:
+        nodes1 = jnp.zeros(x1.shape, jnp.int32)
+        nodes2 = jnp.zeros(x2.shape, jnp.int32)
+    return fused_refine(
+        bits1, nodes1, valid1, angle1, x1, y1, oct1,
+        bits2t, nodes2, valid2, angle2, x2, y2,
+        E0, R0, t0, n0, m12_0, K_inv, sigma2, cam, th_norm, key,
+        min_pairs, has_nodes=has_nodes, max_iters=max_iters,
+    )
 
 
 def find_relative_pose(f1, f2, pairs, camera, *, th: float = 1.0,
@@ -86,10 +109,9 @@ def find_relative_pose(f1, f2, pairs, camera, *, th: float = 1.0,
     valid[:m] = True
 
     th_norm = th / float(camera.fx)
-    res = _solve_jit(
-        jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(valid),
-        jax.random.key(seed), jnp.float32(th_norm),
-    )
+    # numpy straight to the jit call: transfers ride the one dispatch
+    res = _solve_jit(p1, p2, valid, np.uint32(seed & 0xFFFFFFFF),
+                     np.float32(th_norm))
     E, R, t, n_che, pose_mask = jax.device_get(res)  # one bundled fetch
     n_che = int(n_che)
     if n_che <= 6:
@@ -113,37 +135,36 @@ def refine_pose(f1, f2, rel: RelativePose, pairs, camera, *,
 
     The whole alternation runs as ONE device program
     (geometry/fused.py:fused_refine) — the reference's host loop would
-    cost ~20 dispatch round-trips here."""
-    from irotavg_tpu.geometry.fused import fused_refine
+    cost ~20 dispatch round-trips here.  Host inputs go to the jit call
+    as numpy (transfers ride the dispatch; explicit per-array
+    ``jnp.asarray``/``jax.random.key`` would each be their own dispatch
+    through the device tunnel)."""
     from irotavg_tpu.matching.matchers import _bits, _dev
 
     K_inv = np.linalg.inv(camera.K).astype(np.float32)
     n1 = f1.capacity if hasattr(f1, "capacity") else len(f1.valid)
-    n2 = f2.capacity if hasattr(f2, "capacity") else len(f2.valid)
     m12_0 = np.full(n1, -1, np.int32)
     m12_0[pairs[:, 0]] = pairs[:, 1]
     n_oct = 8
-    sigma2 = jnp.asarray((1.2 ** np.arange(n_oct)) ** 2, jnp.float32)
-    cam = jnp.asarray(
-        [camera.fx, camera.fy, camera.cx, camera.cy], jnp.float32
+    sigma2 = ((1.2 ** np.arange(n_oct)) ** 2).astype(np.float32)
+    cam = np.asarray(
+        [camera.fx, camera.fy, camera.cx, camera.cy], np.float32
     )
     has_nodes = f1.feat_nodes is not None and f2.feat_nodes is not None
-    zeros1 = jnp.zeros((n1,), jnp.int32)
-    zeros2 = jnp.zeros((n2,), jnp.int32)
-    res = fused_refine(
+    res = _refine_seeded(
         _bits(f1),
-        _dev(f1, "feat_nodes") if has_nodes else zeros1,
+        _dev(f1, "feat_nodes") if has_nodes else None,
         _dev(f1, "valid"), _dev(f1, "angle"),
         _dev(f1, "xu"), _dev(f1, "yu"), _dev(f1, "octave"),
         _bits(f2).T,
-        _dev(f2, "feat_nodes") if has_nodes else zeros2,
+        _dev(f2, "feat_nodes") if has_nodes else None,
         _dev(f2, "valid"), _dev(f2, "angle"),
         _dev(f2, "xu"), _dev(f2, "yu"),
-        jnp.asarray(rel.E, jnp.float32), jnp.asarray(rel.R, jnp.float32),
-        jnp.asarray(rel.t, jnp.float32), len(pairs), m12_0,
-        jnp.asarray(K_inv), sigma2, cam,
-        jnp.float32(1.0 / camera.fx), jax.random.key(seed),
-        jnp.int32(int(np.ceil(0.75 * min_matches))),
+        np.asarray(rel.E, np.float32), np.asarray(rel.R, np.float32),
+        np.asarray(rel.t, np.float32), np.int32(len(pairs)), m12_0,
+        K_inv, sigma2, cam,
+        np.float32(1.0 / camera.fx), np.uint32(seed & 0xFFFFFFFF),
+        np.int32(int(np.ceil(0.75 * min_matches))),
         has_nodes=has_nodes, max_iters=max_iters,
     )
     E, R, t, n, m12, _ = jax.device_get(res)  # one bundled fetch

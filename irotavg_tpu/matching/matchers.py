@@ -157,7 +157,12 @@ def _match_locally_core(bits1, valid1, oct1, gx, gy,
 
 
 def _nodes(f):
-    return None if f.feat_nodes is None else jnp.asarray(f.feat_nodes)
+    """Device copy of feat_nodes, cached on the Frame — a fresh
+    ``jnp.asarray`` upload per matcher call is its own dispatch."""
+    if f.feat_nodes is None:
+        return None
+    d = getattr(f, "dev", None)
+    return d("feat_nodes") if d is not None else jnp.asarray(f.feat_nodes)
 
 
 def _bits(f):
@@ -185,7 +190,7 @@ def match_by_bow(f1, f2, nnratio: float = 0.9):
     return np.asarray(_match_by_bow_core(
         _bits(f1), n1, _dev(f1, "valid"), _dev(f1, "angle"),
         _bits(f2).T, n2, _dev(f2, "valid"), _dev(f2, "angle"),
-        jnp.float32(nnratio),
+        np.float32(nnratio),
         has_nodes=n1 is not None and n2 is not None,
     ))
 

@@ -100,6 +100,27 @@ class Vocabulary:
 
     # -- runtime ------------------------------------------------------------
 
+    def descend(self, desc, valid=None, levelsup: int = 4):
+        """Dispatch the tree descent for one frame; returns the DEVICE
+        ``(leaf, nid)`` pair without fetching.
+
+        The building block for pipelined callers (frontend/prefetch.py):
+        queue descents for a whole look-ahead batch, fetch once, and
+        assemble host-side with :meth:`assemble` — per-frame
+        ``transform`` would pay one blocking device round trip each.
+        """
+        if valid is None:
+            valid = jnp.ones((desc.shape[0],), bool)
+        nid_level = max(self.L - levelsup, 0)
+        return _descend(
+            desc, valid, self._children_j, self._node_desc_j,
+            self._is_leaf_j, self.L, nid_level,
+        )
+
+    def assemble(self, leaf, nid):
+        """Host assembly of fetched descent results -> (bow, feat_nodes)."""
+        return self._assemble(np.asarray(leaf), np.asarray(nid))
+
     def transform(self, desc, valid=None, levelsup: int = 4):
         """(N, 8) uint32 descriptors -> (bow, feat_nodes).
 
@@ -113,11 +134,7 @@ class Vocabulary:
             valid = jnp.ones((n,), bool)
         else:
             valid = jnp.asarray(valid)
-        nid_level = max(self.L - levelsup, 0)
-        leaf, nid = _descend(
-            desc, valid, self._children_j, self._node_desc_j,
-            self._is_leaf_j, self.L, nid_level,
-        )
+        leaf, nid = self.descend(desc, valid, levelsup)
         import jax
 
         leaf, nid = jax.device_get((leaf, nid))  # one bundled fetch
