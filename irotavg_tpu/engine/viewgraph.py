@@ -26,10 +26,8 @@ import numpy as np
 
 from irotavg_tpu import so3
 from irotavg_tpu.engine.incremental import IncrementalRotAvg
-from irotavg_tpu.geometry.twoview import (
-    RelativePose, find_relative_pose, refine_pose,
-)
-from irotavg_tpu.matching.matchers import match_by_bow, matches_to_pairs
+from irotavg_tpu.geometry.twoview import RelativePose
+from irotavg_tpu.matching.matchers import matches_to_pairs
 from irotavg_tpu.placerec.bow import bow_score
 from irotavg_tpu.placerec.database import ViewDatabase
 
@@ -282,22 +280,42 @@ class ViewGraph:
     def close_loop(self, view_id: int, cand_id: int, *,
                    min_matches: int = 150) -> bool:
         """BoW match + relative pose + refine + connect (the loop-closure
-        block of the app, src/IRotAvg.cpp:309-347)."""
+        block of the app, src/IRotAvg.cpp:309-347) — the device work runs
+        as ONE program (`geometry/fused.py:fused_bow_pair_estimate`),
+        one dispatch + one bundled fetch per candidate."""
+        import jax
+
+        from irotavg_tpu.geometry.fused import fused_bow_pair_estimate
+
         f2 = self.frames[view_id]
         f1 = self.frames[cand_id]
-        m12 = match_by_bow(f1, f2, nnratio=0.9)
+        c = self._consts()
+        has_nodes = (f1.feat_nodes is not None
+                     and f2.feat_nodes is not None)
+
+        def nodes(f):
+            return f.dev("feat_nodes") if has_nodes else None
+
+        E, R, t, n_che, m12, success = jax.device_get(
+            fused_bow_pair_estimate(
+                f1.pm1, nodes(f1), f1.dev("valid"), f1.dev("angle"),
+                f1.dev("xu"), f1.dev("yu"), f1.dev("octave"),
+                f2.pm1.T, nodes(f2), f2.dev("valid"), f2.dev("angle"),
+                f2.dev("xu"), f2.dev("yu"),
+                c["K_inv"], c["sigma2"], c["camv"], c["th_norm"],
+                np.uint32((view_id * 31 + cand_id) & 0xFFFFFFFF),
+                np.float32(0.9), np.int32(min_matches),
+                has_nodes=has_nodes,
+            )
+        )
+        if not bool(success):
+            return False
         pairs = matches_to_pairs(m12)
-        if len(pairs) <= 4:
-            return False
-        rel = find_relative_pose(f1, f2, pairs, self.camera,
-                                 seed=view_id * 31 + cand_id)
-        if rel is None or rel.n_cheirality < min_matches:
-            return False
-        pairs = pairs[rel.inlier_mask]
-        rel, pairs = refine_pose(f1, f2, rel, pairs, self.camera,
-                                 min_matches=min_matches)
-        if len(pairs) < min_matches:
-            return False
+        rel = RelativePose(
+            R=np.asarray(R, np.float64), t=np.asarray(t, np.float64),
+            E=np.asarray(E, np.float64), n_cheirality=int(n_che),
+            inlier_mask=np.ones(len(pairs), bool),
+        )
         self.connect(cand_id, view_id, pairs, rel)
         return True
 

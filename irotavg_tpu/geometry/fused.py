@@ -480,6 +480,70 @@ def _refine_window_core(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("has_nodes", "n_samples", "max_iters")
+)
+def fused_bow_pair_estimate(bits1, nodes1, valid1, angle1, x1, y1, oct1,
+                            bits2t, nodes2, valid2, angle2, x2, y2,
+                            K_inv, sigma2, cam, th_norm, seed, nnratio,
+                            min_matches, *, has_nodes, n_samples=512,
+                            max_iters=10):
+    """Loop-closure verification as ONE program: BoW-guided matching ->
+    essential RANSAC + cheirality -> epipolar-rematch refinement.
+
+    The contract of the app's loop-closure block (src/IRotAvg.cpp:
+    309-347): match by vocabulary node (`findORBMatchesByBoW`,
+    src/ViewGraph.cpp:125-295), solve the relative pose, reject unless
+    the cheirality support reaches ``min_matches``, refine, reject
+    unless the final match count still reaches ``min_matches``.  The
+    host version of this ran three dispatch+fetch cycles per candidate
+    (match_by_bow -> find_relative_pose -> refine_pose).
+
+    Returns (E, R, t, n_che, m12, success) with the pose mapping
+    frame-1 -> frame-2 and ``m12`` frame-1 rows -> frame-2 columns.
+    """
+    from irotavg_tpu.matching.matchers import _match_by_bow_core
+
+    key = jax.random.key(jnp.asarray(seed, jnp.uint32))
+    if not has_nodes:
+        nodes1 = jnp.zeros(x1.shape, jnp.int32)
+        nodes2 = jnp.zeros(x2.shape, jnp.int32)
+    m12 = _match_by_bow_core(
+        bits1, nodes1, valid1, angle1, bits2t, nodes2, valid2, angle2,
+        nnratio, has_nodes=has_nodes,
+    ).astype(jnp.int32)
+    count0 = jnp.sum(m12 >= 0)
+    key, sub = jax.random.split(key)
+    E0, R0, t0, n0, pose_mask = _ransac_from_assignment(
+        m12, x1, y1, x2, y2, cam, th_norm, sub, n_samples
+    )
+    # close_loop gates: >4 matches, >6 cheirality inliers, and the
+    # pre-refine support floor (src/IRotAvg.cpp:320-326)
+    rel_ok = (count0 > 4) & (n0 > 6) & (n0 >= min_matches)
+    m12f = jnp.where(pose_mask, m12, -1).astype(jnp.int32)
+    cntf = jnp.sum(m12f >= 0)
+
+    key, sub = jax.random.split(key)
+    E, R, t, n, m12r, _ = fused_refine(
+        bits1, nodes1, valid1, angle1, x1, y1, oct1,
+        bits2t, nodes2, valid2, angle2, x2, y2,
+        E0, R0, t0, cntf, m12f,
+        K_inv, sigma2, cam, th_norm, sub,
+        jnp.ceil(0.75 * min_matches).astype(jnp.int32),
+        has_nodes=has_nodes, max_iters=max_iters, n_samples=n_samples,
+    )
+    do_refine = cntf > 10
+    f32 = jnp.float32
+    E = jnp.where(do_refine, E, E0.astype(f32))
+    R = jnp.where(do_refine, R, R0.astype(f32))
+    t = jnp.where(do_refine, t, t0.astype(f32))
+    n = jnp.where(do_refine, n, n0).astype(jnp.int32)
+    m12 = jnp.where(do_refine, m12r, m12f)
+    final_cnt = jnp.sum(m12 >= 0)
+    success = rel_ok & (final_cnt >= min_matches)
+    return E, R, t, n, m12, success
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("has_nodes", "max_trials", "n_samples", "gate_px"),
 )
