@@ -317,6 +317,20 @@ def fused_pair_estimate(bitsA, validA, octA, xA, yA, angleA,
     success requires >= min_matches final matches and the recovered pose
     maps A -> B (edge convention ``R_B = R_AB R_A``).
     """
+    return _pair_estimate_core(
+        bitsA, validA, octA, xA, yA, angleA,
+        bitsBt, validB, octB, xB, yB, angleB,
+        radius, K_inv, sigma2, cam, th_norm, key, min_matches,
+        max_iters=max_iters, n_samples=n_samples,
+    )
+
+
+def _pair_estimate_core(bitsA, validA, octA, xA, yA, angleA,
+                        bitsBt, validB, octB, xB, yB, angleB,
+                        radius, K_inv, sigma2, cam, th_norm, key,
+                        min_matches, *, max_iters=10, n_samples=512):
+    """Traced body of `fused_pair_estimate`, shared with the in-program
+    gather wrapper above."""
 
     def one(bA, vA, oA, xa, ya, aA, bBt, vB, oB, xb, yb, aB, rad, k):
         m12 = _match_locally_core(
@@ -617,6 +631,41 @@ def fused_process_frame(
 
     refined, window = jax.lax.cond(accept, do_phase2, skip_phase2, None)
     return local_rad, rel_valid, refined, window
+
+
+@jax.jit
+def fused_flow_gather(desc, valid, octave, x, y, ia, ib, radius):
+    """`fused_flow` with the per-chunk frame gathers + bit unpacking done
+    IN-PROGRAM: callers pass the whole stacked feature arrays (device
+    resident) plus index vectors.  A host-side ``desc[ia]`` /
+    ``unpack_pm1`` pair is ~6 separate dispatches per chunk through the
+    tunnel — measured as the dominant cost of the offline flow stage."""
+    from irotavg_tpu.ops.match_pallas import unpack_pm1
+
+    bitsA = jax.vmap(unpack_pm1)(desc[ia])
+    bitsBt = jnp.swapaxes(jax.vmap(unpack_pm1)(desc[ib]), 1, 2)
+    return fused_flow(bitsA, valid[ia], octave[ia], x[ia], y[ia],
+                      bitsBt, valid[ib], octave[ib], x[ib], y[ib], radius)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "n_samples"))
+def fused_pair_estimate_gather(desc, valid, octave, x, y, angle,
+                               ia, ib, radius, K_inv, sigma2, cam,
+                               th_norm, seed, min_matches,
+                               *, max_iters=10, n_samples=512):
+    """`fused_pair_estimate` with in-program gathers + seed scalar (see
+    `fused_flow_gather`)."""
+    from irotavg_tpu.ops.match_pallas import unpack_pm1
+
+    key = jax.random.key(jnp.asarray(seed, jnp.uint32))
+    bitsA = jax.vmap(unpack_pm1)(desc[ia])
+    bitsBt = jnp.swapaxes(jax.vmap(unpack_pm1)(desc[ib]), 1, 2)
+    return _pair_estimate_core(
+        bitsA, valid[ia], octave[ia], x[ia], y[ia], angle[ia],
+        bitsBt, valid[ib], octave[ib], x[ib], y[ib], angle[ib],
+        radius, K_inv, sigma2, cam, th_norm, key, min_matches,
+        max_iters=max_iters, n_samples=n_samples,
+    )
 
 
 @jax.jit

@@ -72,8 +72,9 @@ def run_offline(images, camera, extractor, *, vocab=None,
     import jax.numpy as jnp
 
     from irotavg_tpu import so3
-    from irotavg_tpu.geometry.fused import fused_flow, fused_pair_estimate
-    from irotavg_tpu.ops.match_pallas import unpack_pm1
+    from irotavg_tpu.geometry.fused import (
+        fused_flow_gather, fused_pair_estimate_gather,
+    )
     from irotavg_tpu.solver import RotationGraph, init_mst, irls, l1ra
     from irotavg_tpu.solver.irls import Cost, IRLSConfig
     from irotavg_tpu.solver.l1ra import L1RAConfig
@@ -124,23 +125,20 @@ def run_offline(images, camera, extractor, *, vocab=None,
 
     # -- stage 2: consecutive flow + keyframe thinning -----------------------
     t0 = time.perf_counter()
-    vm_unpack = jax.jit(jax.vmap(unpack_pm1))
     flows = np.zeros(B - 1, np.float32)
     counts = np.zeros(B - 1, np.int32)
     # queue every chunk, fetch once: dispatch is async, so the host never
-    # blocks mid-stage on the device round trip
+    # blocks mid-stage on the device round trip.  Gathers + bit unpacking
+    # run IN-PROGRAM (fused_flow_gather): the previous host-side
+    # desc[ia]/unpack pair was ~6 dispatches per chunk through the tunnel
+    # and dominated this stage's wall time.
     pending = []
     for lo, hi in _chunks(B - 1, chunk):
         ia = np.arange(lo, hi)
         pad = chunk - (hi - lo)
-        ia = np.concatenate([ia, np.repeat(ia[-1:], pad)])
-        iaj = jnp.asarray(ia)
-        ibj = jnp.asarray(ia + 1)
-        bitsB = vm_unpack(desc[ibj])
-        pending.append((lo, hi, fused_flow(
-            vm_unpack(desc[iaj]), valid[iaj], octave[iaj], x[iaj], y[iaj],
-            jnp.swapaxes(bitsB, 1, 2), valid[ibj], octave[ibj],
-            x[ibj], y[ibj], jnp.float32(90.0),
+        ia = np.concatenate([ia, np.repeat(ia[-1:], pad)]).astype(np.int32)
+        pending.append((lo, hi, fused_flow_gather(
+            desc, valid, octave, x, y, ia, ia + 1, np.float32(90.0),
         )))
     for lo, hi, out in pending:
         fl, ct = jax.device_get(out)
@@ -201,16 +199,13 @@ def run_offline(images, camera, extractor, *, vocab=None,
             sel = np.arange(lo, hi)
             pad = chunk - (hi - lo)
             sel = np.concatenate([sel, np.repeat(sel[-1:], pad)])
-            ia = jnp.asarray(kf[pair_arr[sel, 0]])
-            ib = jnp.asarray(kf[pair_arr[sel, 1]])
-            bitsB = vm_unpack(desc[ib])
-            pending.append((lo, hi, fused_pair_estimate(
-                vm_unpack(desc[ia]), valid[ia], octave[ia],
-                x[ia], y[ia], angle[ia],
-                jnp.swapaxes(bitsB, 1, 2), valid[ib], octave[ib],
-                x[ib], y[ib], angle[ib],
-                jnp.asarray(rad_arr[sel]), K_inv, sigma2, camv, th_norm,
-                jax.random.key(key0 + lo), jnp.int32(min_matches),
+            ia = kf[pair_arr[sel, 0]].astype(np.int32)
+            ib = kf[pair_arr[sel, 1]].astype(np.int32)
+            pending.append((lo, hi, fused_pair_estimate_gather(
+                desc, valid, octave, x, y, angle, ia, ib,
+                rad_arr[sel], K_inv, sigma2, camv, th_norm,
+                np.uint32((key0 + lo) & 0xFFFFFFFF),
+                np.int32(min_matches),
             )))
         for lo, hi, out in pending:
             E, R, t, n_che, m12, success = jax.device_get(out)
