@@ -1,29 +1,51 @@
 """Benchmark: rotation-averaging framework on the reference workloads.
 
-Emits ONE JSON line.  Sections (all on the session accelerator):
+Timeout-proof harness (round-5 contract):
+
+* The driver records only the LAST ~2000 characters of stdout and parses
+  a JSON line out of them.  Round 3 lost its record to a >2000-char line
+  and round 4 to a timeout with the single print at the very end.  So
+  this harness (a) prints a COMPACT merged JSON line (<1.5 KB) after
+  EVERY completed section — a kill at any point leaves the latest full
+  line in the tail — and (b) writes complete per-section detail to
+  ``BENCH_FULL.json`` next to this file as sections finish.
+* A wall-clock budget (``BENCH_BUDGET_S``, default 900 s) gates every
+  section: when the remaining time is below a section's floor the
+  section is skipped and recorded as such — the reference's observables
+  always emit (per-frame printf, src/IRotAvg.cpp:382-383; solver runtime
+  prints, ral/test.cpp:307-309), and so does this.
+* A watchdog THREAD (not a signal — a stalled remote device call holds
+  the GIL-released C call and Python signal handlers wait) force-emits
+  the current record and exits 0 at budget + grace.  SIGTERM (what
+  ``timeout`` sends) also emits before exiting.
+
+Sections (all on the session accelerator unless noted):
 
 * headline — batch robust solve (init_mst -> L1-RA -> IRLS, reference
-  defaults: 5 L1 iters, 50 IRLS iters, Geman-McClure sigma=5deg, th=1e-3)
-  on the bundled real problem (m=3655 edges, n=1832 views,
-  ral/data/ravg_input.txt), vs the in-repo scipy oracle (tests/ref_impl.py;
-  the C++ reference cannot be built here — no Eigen/SuiteSparse headers).
-  Reports iteration counts, per-rotation geodesic agreement with the
-  oracle's solution, and an XLA-cost-model MFU estimate.
-* large — cold 50k-view / 250k-edge synthetic solve through the matrix-free
-  CG backend (the quasi-global re-solve path, src/IRotAvg.cpp:371-378, at a
-  scale the reference's dense window never reaches), with enough noise and
-  outliers that the IRLS loop demonstrably iterates.
-* e2e — the offline SLAM pipeline (extract -> flow/keyframes -> window
-  pair RANSAC -> global solve) over a 100-frame synthetic sequence with
-  known ground-truth rotations (tests/seqgen.py, the KITTI stand-in per
-  BASELINE.md config 3): frames/s, per-stage seconds, rotation RMSE vs GT.
-  The reference's per-frame observable is src/IRotAvg.cpp:382-383.
+  defaults) on the bundled real problem (m=3655, n=1832,
+  ral/data/ravg_input.txt) vs the in-repo scipy oracle.
+* scaling — 1/2/4/8-device virtual-mesh probe (CPU subprocess), run
+  EARLY so host contention from later sections cannot skew it.
+* incremental — the reference's actual product: per-frame SLAM with
+  loop closure + windowed rotavg (src/IRotAvg.cpp:251-392), driven with
+  the >=100k-word product vocabulary.
+* e2e — offline batched pipeline on a drift-accumulating sequence with
+  photometric noise and lens distortion (k1 != 0 exercises the
+  undistortKeypoints path, src/Frame.cpp:102-139); with/without loop
+  closure to measure the loop-closure accuracy payoff.
+* windows — batched independent window solves + an MXU saturation sweep
+  of the batched Cholesky kernel (solves/s knee + MFU).
+* vocab — production-scale k=10/L=6 (~1M node, ~145 MB) text round trip
+  through the native parser + descent/cascade timings at 100k words.
+* large — cold 50k-view / 250k-edge CG solve with f64 cross-check.
 """
 
 import dataclasses
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
@@ -33,10 +55,149 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 PROBLEM = os.path.join(REPO, "tests", "data", "ravg_input.txt.gz")
+FULL_PATH = os.path.join(REPO, "BENCH_FULL.json")
 REPS = 5
 # MXU peak of one TPU v5e chip (bf16); f32 work runs below this ceiling,
 # so the reported MFU is a conservative lower bound of hardware use.
 PEAK_FLOPS_BF16 = 197e12
+
+# ---------------------------------------------------------------------------
+# harness state
+# ---------------------------------------------------------------------------
+
+_T0 = time.monotonic()
+_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "900"))
+_GRACE = 90.0
+_LOCK = threading.Lock()
+_COMPACT: dict = {}
+_FULL: dict = {}
+
+
+def _remaining() -> float:
+    return _BUDGET - (time.monotonic() - _T0)
+
+
+def _emit(final: bool = False) -> None:
+    """Write BENCH_FULL.json and print the compact merged line."""
+    with _LOCK:
+        _COMPACT["elapsed_s"] = round(time.monotonic() - _T0, 1)
+        _FULL["elapsed_s"] = _COMPACT["elapsed_s"]
+        try:
+            tmp = FULL_PATH + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(_FULL, fh, indent=1)
+            os.replace(tmp, FULL_PATH)
+        except OSError:
+            pass
+        line = json.dumps(_COMPACT, separators=(",", ":"))
+        if len(line) > 1800:  # never exceed the driver's 2000-char tail
+            slim = {k: _COMPACT[k] for k in
+                    ("metric", "value", "unit", "vs_baseline", "platform",
+                     "quality_ok", "elapsed_s", "detail") if k in _COMPACT}
+            line = json.dumps(slim, separators=(",", ":"))
+        print(line, flush=True)
+
+
+def _die(origin: str) -> None:
+    _COMPACT["aborted"] = origin
+    _FULL["aborted"] = origin
+    _emit(final=True)
+    os._exit(0)
+
+
+def _install_watchdog() -> None:
+    def watch():
+        stop = _T0 + _BUDGET + _GRACE
+        while time.monotonic() < stop:
+            time.sleep(min(5.0, stop - time.monotonic()))
+        _die("watchdog")
+
+    t = threading.Thread(target=watch, daemon=True, name="bench-watchdog")
+    t.start()
+    try:
+        signal.signal(signal.SIGTERM, lambda *_: _die("sigterm"))
+    except ValueError:
+        pass  # non-main thread
+
+
+# ---------------------------------------------------------------------------
+# shared fixtures
+# ---------------------------------------------------------------------------
+
+def _cache_dir() -> str:
+    d = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "irotavg_tpu",
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+_PRODUCT_VOCAB = None
+
+
+def product_vocab(allow_build: bool = True):
+    """The >=100k-word product vocabulary (k=10/L=5, trained
+    level-synchronously on synthetic-world ORB descriptors) shared by the
+    incremental and e2e sections — the stand-in for shipping ORBvoc.txt
+    at its real word count (TemplatedVocabulary.h:1337-1424).
+
+    Resolution order: in-process memo -> cache-dir text (native parse,
+    <0.5 s) -> repo fixture gz -> train from scratch (budget permitting).
+    Returns None only when absent everywhere and the budget is gone.
+    """
+    global _PRODUCT_VOCAB
+    if _PRODUCT_VOCAB is not None:
+        return _PRODUCT_VOCAB
+    from irotavg_tpu.placerec.vocabulary import Vocabulary
+
+    path = os.path.join(_cache_dir(), "product_vocab_k10_L5_v1.txt")
+    fixture = os.path.join(REPO, "tests", "data",
+                           "product_vocab_k10_L5_v1.txt.gz")
+    if not os.path.exists(path) and os.path.exists(fixture):
+        import gzip
+        import shutil
+
+        with gzip.open(fixture, "rb") as src, open(path + ".tmp", "wb") as dst:
+            shutil.copyfileobj(src, dst)
+        os.replace(path + ".tmp", path)
+    if os.path.exists(path):
+        _PRODUCT_VOCAB = Vocabulary.load_text(path)
+        return _PRODUCT_VOCAB
+    if not allow_build or _remaining() < 300:
+        return None
+    _PRODUCT_VOCAB = build_product_vocab(path)
+    return _PRODUCT_VOCAB
+
+
+def build_product_vocab(path: str):
+    """Train the product vocabulary from both bench sequences' ORB
+    descriptors and persist it as DBoW2 text."""
+    from seqgen import make_sequence
+    from irotavg_tpu.frontend import ORBExtractor
+    from irotavg_tpu.frontend.prefetch import sample_descriptors
+    from irotavg_tpu.placerec import train_vocabulary_flat
+
+    ext = ORBExtractor(n_features=1000, n_levels=8)
+    descs = []
+    for seed, n in ((3, E2E_FRAMES), (5, INC_FRAMES)):
+        frames, _, _ = make_sequence(n_frames=n, seed=seed, loop=True,
+                                     **SEQ_NOISE)
+        descs.extend(sample_descriptors(frames, ext, stride=1, cap=1000))
+    v = train_vocabulary_flat(descs, k=10, L=5, seed=0, iters=5)
+    v.save_text(path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return v
+
+
+# bench workload knobs (shared by product_vocab & the product sections).
+# SEQ_NOISE exercises the real-imagery paths the clean synthetic world
+# skipped: photometric noise + blur (FAST two-threshold fallback,
+# src/ORBExtractor.cpp:833-842) and lens distortion k1 != 0
+# (undistortKeypoints, src/Frame.cpp:102-139).
+SEQ_NOISE = dict(noise_sigma=5.0, blur_sigma=0.6, k1=-0.28, k2=0.07)
+E2E_FRAMES = 160
+INC_FRAMES = 200
 
 
 def load_problem():
@@ -63,6 +224,10 @@ def geo_deg(Qa, Qb):
     d = np.abs(np.sum(np.asarray(Qa) * np.asarray(Qb), axis=-1))
     return np.degrees(2.0 * np.arccos(np.clip(d, -1.0, 1.0)))
 
+
+# ---------------------------------------------------------------------------
+# sections
+# ---------------------------------------------------------------------------
 
 def bench_headline():
     """Reference workload: solve ms vs scipy oracle + solution agreement."""
@@ -93,7 +258,7 @@ def bench_headline():
     # *repeated identical* calls — so (a) every timed call gets a slightly
     # perturbed input (1e-7 noise; same convergence behaviour), and (b)
     # device time is isolated by running K solves back-to-back inside ONE
-    # program (lax.fori_loop with a traced trip count) and differencing
+    # program (lax.while_loop with a traced trip count) and differencing
     # K=1 vs K=1+REPS, which cancels the round trip exactly.
     g = RotationGraph.create(edges, QQ, Q0, f=f, dtype=jnp.float32)
     l1_cfg = L1RAConfig(max_iters=5, change_th=1e-3)
@@ -151,10 +316,8 @@ def bench_headline():
           and float(gdeg.max()) < 0.5)
 
     # MFU of the dominant kernel: the dense Cholesky factor+solve of the
-    # n x n Laplacian that sits inside every IRLS/Newton step (the MXU
-    # work; everything else in the solve is O(m) elementwise).  Measured
-    # directly (XLA's static cost model over-counts while_loops by their
-    # max trip count, which is meaningless for a convergence loop).
+    # n x n Laplacian inside every IRLS/Newton step, measured directly
+    # (XLA's static cost model over-counts while_loops by max trip count).
     mfu = tflops = None
     try:
         from irotavg_tpu.solver.graph import laplacian_dense
@@ -168,9 +331,8 @@ def bench_headline():
 
         @jax.jit
         def chol_many(L, rhs):
-            # repetition stays on-device (one dispatch — a host-looped
-            # microbench here measures tunnel round-trip, not the kernel);
-            # the k-dependent shift stops XLA hoisting the factorisation
+            # repetition stays on-device (one dispatch); the k-dependent
+            # shift stops XLA hoisting the factorisation
             def body(k, X):
                 Lk = L + (k.astype(L.dtype) * 1e-7) * eye
                 return jax.scipy.linalg.cho_solve(
@@ -214,11 +376,9 @@ def bench_large(n=50_000, m_extra=200_000):
     Warm start = GT perturbed by 3deg — the contract of the product path
     that reaches this size (`rotAvg(5e6)` after loop closure refines the
     already-near-optimal incremental state, src/IRotAvg.cpp:371-378).
-    Noise 3deg + 10% outliers keeps the IRLS while_loop busy (>10
-    iterations) so this measures the loop, not dispatch.  ``max_iters`` is
-    set far above the observed exit so the loop terminates by convergence
-    (change_th), and the solution quality is cross-checked by an f64 CPU
-    re-solve of the identical problem in a subprocess.
+    Noise 3deg + 10% outliers keeps the IRLS while_loop busy so this
+    measures the loop, not dispatch.  Solution quality is cross-checked
+    by an f64 CPU re-solve of the identical problem in a subprocess.
     """
     import jax.numpy as jnp
     from scipy.spatial.transform import Rotation as Rsc
@@ -261,8 +421,11 @@ def bench_large(n=50_000, m_extra=200_000):
     }
 
     # f64 cross-check: identical problem + config re-solved at float64 on
-    # the host CPU (subprocess; TPU f64 is emulated).  Reports the f64
-    # solution's own GT error and its geodesic delta vs the f32 solution.
+    # the host CPU (subprocess; TPU f64 is emulated).
+    budget = _remaining() - 30
+    if budget < 60:
+        out["f64_check"] = {"skipped": "budget"}
+        return out
     try:
         import subprocess
         import tempfile
@@ -275,7 +438,8 @@ def bench_large(n=50_000, m_extra=200_000):
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"),
              "--crosscheck-f64", qpath, str(n), str(m_extra)],
-            capture_output=True, text=True, timeout=900, env=env,
+            capture_output=True, text=True, timeout=min(budget, 900),
+            env=env,
         )
         out["f64_check"] = json.loads(r.stdout.strip().splitlines()[-1])
     except Exception as e:
@@ -318,8 +482,7 @@ def crosscheck_f64_main(qpath, n, m_extra):
         "vs_f32_geodesic_p99_deg": round(float(np.percentile(delta, 99)), 4),
         # the max is dominated by outlier-edge-only nodes whose incident
         # Geman-McClure weights all collapse: their rotation is weakly
-        # determined, so f32 and f64 settle on different (equally valid)
-        # fixed points there — mean/p99 are the agreement signal
+        # determined — mean/p99 are the agreement signal
         "vs_f32_geodesic_max_deg": round(float(delta.max()), 4),
     }))
 
@@ -329,16 +492,19 @@ def bench_windows(W=384, reps=6):
 
     One incremental `rotAvg(10)` window (n~14, m~30) cannot fill the MXU;
     `engine.batched` vmaps W of them into one dispatch (batched Cholesky).
-    Baseline: the scipy oracle solving the same windows one by one, the
+    Baseline: the scipy oracle solving the same windows one by one — the
     direct analogue of the reference running its SuiteSparse window solve
     per sequence (ral/l1_irls.cpp:536-556).
+
+    Adds the saturation story (BASELINE config 1-2): a sweep of the
+    batched Cholesky kernel over W until solves/s stops scaling, with the
+    measured TFLOPS/MFU at each point and the knee reported.
     """
     import jax
     import jax.numpy as jnp
     import ref_impl as oracle
     from scipy.spatial.transform import Rotation as Rsc
     from synth import make_problem
-    from irotavg_tpu import so3
     from irotavg_tpu.engine.batched import batched_window_solver, pack_windows
 
     rng = np.random.default_rng(21)
@@ -390,13 +556,12 @@ def bench_windows(W=384, reps=6):
                     max_iters=100, change_th=1e-3)
     oracle_wps = n_oracle / (time.perf_counter() - t0)
 
-    # quality: batched solutions against GT (same relative bound as the
-    # oracle achieves on these tiny outlier-laden graphs)
+    # quality: batched solutions against GT
     errs = []
     for k in range(W):
         nk = len(problems[k][2])
         errs.append(geo_deg(Qf[k, :nk], gts[k]).mean())
-    return {
+    res = {
         "windows": W,
         "window_shape": {"m_pad": m_pad, "n_pad": n_pad},
         "windows_per_s": round(ours_wps, 1),
@@ -407,14 +572,67 @@ def bench_windows(W=384, reps=6):
         "mean_irls_iters": round(float(iters.mean()), 1),
     }
 
+    # --- saturation sweep of the batched Cholesky kernel ----------------
+    # The hot MXU op of every window solve is the batched n_pad x n_pad
+    # factor+solve; sweep the batch until solves/s flattens (the knee =
+    # the serving capacity of one chip at this window shape).
+    if _remaining() > 90:
+        sweep = {}
+        best = (0.0, 0)
+        kreps = 40
+        for Wk in (384, 1536, 6144, 24576):
+            if _remaining() < 45:
+                break
+
+            @jax.jit
+            def chol_batch(Ls, rhs):
+                def body(k, X):
+                    Lk = Ls + (k.astype(Ls.dtype) * 1e-7
+                               ) * jnp.eye(Ls.shape[-1], dtype=Ls.dtype)
+                    cf = jax.vmap(jax.scipy.linalg.cho_factor)(Lk)
+                    return jax.vmap(jax.scipy.linalg.cho_solve)(cf, X)
+                return jax.lax.fori_loop(0, kreps, body, rhs)
+
+            rngk = np.random.default_rng(33)
+            Amat = rngk.normal(size=(Wk, n_pad, n_pad)).astype(np.float32)
+            Ls = jnp.asarray(Amat @ np.swapaxes(Amat, 1, 2)
+                             + 4.0 * np.eye(n_pad, dtype=np.float32))
+            rhs = jnp.ones((Wk, n_pad, 3), jnp.float32)
+            chol_batch(Ls, rhs).block_until_ready()
+            t0 = time.perf_counter()
+            chol_batch(Ls, rhs).block_until_ready()
+            dtk = (time.perf_counter() - t0) / kreps
+            flops = Wk * (n_pad ** 3 / 3 + 2 * 3 * n_pad ** 2)
+            solves_s = Wk / dtk
+            sweep[str(Wk)] = {
+                "chol_solves_per_s": round(solves_s, 0),
+                "tflops": round(flops / dtk / 1e12, 3),
+                "mfu_bf16_peak": round(flops / dtk / PEAK_FLOPS_BF16, 5),
+            }
+            if solves_s > best[0]:
+                best = (solves_s, Wk)
+        res["chol_sweep"] = sweep
+        res["chol_knee_W"] = best[1]
+        res["chol_knee_solves_per_s"] = round(best[0], 0)
+        # roofline context: a 16x16 factor tiles one (128,128) MXU pass
+        # at (16/128)^2 = 1.6% lane utilisation — the kernel is
+        # layout-bound, not FLOP-bound; the knee is the serving number
+        res["chol_roofline_note"] = (
+            "n_pad=16 tiles a 128x128 MXU at <=1.6% lane utilisation; "
+            "knee solves/s is the per-chip serving capacity"
+        )
+    return res
+
 
 def bench_vocab():
-    """Real-scale place-recognition timings: a complete k=10 / L=5 tree
-    (100k words, 111,111 nodes — the production ORB-SLAM vocabulary is
-    k=10/L=6, TemplatedVocabulary.h:1337-1424, same structure one level
-    deeper).  Times the text round-trip through the native C parser, the
-    batched level-synchronous descent (16 frames x 2000 descriptors per
-    dispatch), and the inverted-file candidate cascade over 500 views.
+    """Place-recognition at production scale.
+
+    Part 1 (the true-scale artifact): a complete k=10/L=6 tree — ~1.11M
+    nodes, the exact shape of the shipping ORB-SLAM vocabulary
+    (TemplatedVocabulary.h:1337-1424) — written as DBoW2 text (~150 MB)
+    and parsed back through the native C parser, timing both directions.
+    Part 2: batched descent + inverted-file cascade timings on the 100k-
+    word tree (16 frames x 2000 descriptors per dispatch, 500-view db).
     """
     import tempfile
 
@@ -424,18 +642,33 @@ def bench_vocab():
         Vocabulary, make_random_vocabulary,
     )
 
-    v = make_random_vocabulary(k=10, L=5, seed=7)
-    with tempfile.TemporaryDirectory() as td:
-        p = os.path.join(td, "vocab_100k.txt")
-        t0 = time.perf_counter()
-        v.save_text(p)
-        save_s = time.perf_counter() - t0
-        size_mb = os.path.getsize(p) / 1e6
-        t0 = time.perf_counter()
-        v2 = Vocabulary.load_text(p)
-        load_s = time.perf_counter() - t0
-        assert v2.n_words == v.n_words
+    out = {}
+    # -- part 1: k=10/L=6 text round trip at the 145 MB production size --
+    if _remaining() > 240:
+        v6 = make_random_vocabulary(k=10, L=6, seed=7)
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "vocab_1m.txt")
+            t0 = time.perf_counter()
+            v6.save_text(p)
+            save_s = time.perf_counter() - t0
+            size_mb = os.path.getsize(p) / 1e6
+            t0 = time.perf_counter()
+            v6b = Vocabulary.load_text(p)
+            load_s = time.perf_counter() - t0
+            assert v6b.n_words == v6.n_words == 10 ** 6
+        out["production_scale"] = {
+            "k": 10, "L": 6, "n_words": int(v6.n_words),
+            "n_nodes": int(len(v6.children)),
+            "text_mb": round(size_mb, 1),
+            "save_text_s": round(save_s, 2),
+            "native_parse_s": round(load_s, 2),
+        }
+        del v6, v6b
+    else:
+        out["production_scale"] = {"skipped": "budget"}
 
+    # -- part 2: descent + cascade on the 100k-word tree ------------------
+    v = make_random_vocabulary(k=10, L=5, seed=7)
     rng = np.random.default_rng(5)
     B, N = 16, 2000
     descs = rng.integers(0, 2 ** 32, (B, N, 8), dtype=np.uint32)
@@ -459,41 +692,46 @@ def bench_vocab():
             score_fn=bow_score,
         )
     query_ms = (time.perf_counter() - t0) / n_q * 1e3
-    return {
+    out.update({
         "k": 10, "L": 5, "n_words": int(v.n_words),
-        "text_mb": round(size_mb, 1),
-        "save_text_s": round(save_s, 2),
-        "load_text_s": round(load_s, 2),
         "transform_frames_per_s": round(B / transform_s, 1),
         "transform_desc_per_s": round(B * N / transform_s, 0),
         "db_views": 500,
         "cascade_query_ms": round(query_ms, 2),
-    }
+    })
+    return out
 
 
 def bench_scaling():
-    """1/2/4/8-device scaling artifact (subprocess on the virtual CPU mesh;
-    see irotavg_tpu/parallel/scaling_probe.py for interpretation — virtual
-    devices timeshare the host cores, so work_conservation ~1.0, not wall
-    speedup, is the healthy signal there)."""
+    """1/2/4/8-device scaling artifact (subprocess on the virtual CPU
+    mesh; work_conservation ~1.0, not wall speedup, is the healthy signal
+    there — see irotavg_tpu/parallel/scaling_probe.py).  Runs EARLY in
+    the section order, before the host-heavy sections (seqgen rendering,
+    scipy oracles, the f64 subprocess) can contend with it — the r04
+    probe ran last and its work-conservation drifted 0.86 -> 0.69 purely
+    from load."""
     import subprocess
 
+    budget = min(420.0, _remaining() - 120)
+    if budget < 120:
+        return {"skipped": "budget"}
     env = os.environ.copy()
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8").strip()
     env.pop("JAX_PLATFORMS", None)
     r = subprocess.run(
         [sys.executable, "-m", "irotavg_tpu.parallel.scaling_probe",
-         "--platform", "cpu", "--n", "50000", "--extra-edges", "200000",
-         "--devices", "1,2,4,8"],
-        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+         "--platform", "cpu",
+         "--sizes", "20000:80000,50000:200000",
+         "--devices", "1,2,4,8", "--reps", "5"],
+        capture_output=True, text=True, timeout=budget, env=env, cwd=REPO,
     )
     if r.returncode != 0:
         return {"error": r.stderr.strip()[-300:]}
     return json.loads(r.stdout.strip().splitlines()[-1])
 
 
-def bench_incremental(n_frames=200, gt_every=20, loop_closure=True):
+def bench_incremental(n_frames=None, gt_every=20, loop_closure=True):
     """The reference's actual workload: per-frame incremental SLAM.
 
     Drives the full engine — Frame (batched look-ahead extraction + BoW)
@@ -503,46 +741,46 @@ def bench_incremental(n_frames=200, gt_every=20, loop_closure=True):
     quasi-global re-solve — mirroring the main loop of
     src/IRotAvg.cpp:251-392 with its per-frame timing observable
     (:382-383).  fps_steady is the back half of the run, once the
-    bucketed executables are compiled.
+    bucketed executables are compiled.  The vocabulary is the >=100k-word
+    product tree (production scale, not a toy k=8/L=3).
     """
-    from scipy.spatial.transform import Rotation as Rsc
     from seqgen import make_sequence
     from irotavg_tpu import so3
     from irotavg_tpu.engine.viewgraph import FrameConnectionError, ViewGraph
     from irotavg_tpu.frontend import Camera, FramePrefetcher, ORBExtractor
-    from irotavg_tpu.placerec import train_vocabulary
 
+    n_frames = n_frames or INC_FRAMES
     # out-and-back trajectory (stays inside the textured scene for the
-    # whole run; a straight pan walks off the synthetic world after ~150
-    # frames and the engine — like the reference, src/ViewGraph.cpp:1083
-    # — refuses frames it cannot connect).  The return leg revisits the
-    # start, so loop closure has real work.
-    frames, K, R_gt = make_sequence(n_frames=n_frames, seed=5, loop=True)
+    # whole run; the return leg revisits the start so loop closure has
+    # real work), with photometric noise + lens distortion (SEQ_NOISE)
+    frames, K, R_gt = make_sequence(n_frames=n_frames, seed=5, loop=True,
+                                    **SEQ_NOISE)
     cam = Camera(fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2],
-                 width=640, height=480)
+                 width=640, height=480,
+                 k1=SEQ_NOISE["k1"], k2=SEQ_NOISE["k2"])
     ext = ORBExtractor(n_features=1000, n_levels=8)
     vg = ViewGraph(cam, min_matches=50)
 
     vocab = None
-    vocab_train_s = 0.0
+    vocab_words = 0
     if loop_closure:
-        from irotavg_tpu.frontend.prefetch import sample_descriptors
-
         t0 = time.perf_counter()
-        sample = sample_descriptors(frames, ext, stride=10, cap=400)
-        vocab = train_vocabulary(sample, k=8, L=3, seed=0)
-        vocab_train_s = time.perf_counter() - t0
+        vocab = product_vocab()
+        vocab_s = time.perf_counter() - t0
+        if vocab is None:   # cache gone AND budget gone: small fallback
+            from irotavg_tpu.frontend.prefetch import sample_descriptors
+            from irotavg_tpu.placerec import train_vocabulary
+
+            sample = sample_descriptors(frames, ext, stride=10, cap=400)
+            vocab = train_vocabulary(sample, k=8, L=3, seed=0)
+        vocab_words = vocab.n_words
     pf = FramePrefetcher(frames, ext, cam, batch=8, vocab=vocab)
 
     if vocab is not None:
-        # Warm the loop-closure program (fused BoW match + RANSAC +
-        # refine) on same-capacity frames BEFORE the timed loop: the
-        # first natural loop closure lands mid-run in the steady window,
-        # and on this backend a program's first call can cost minutes of
+        # Warm the loop-closure program on same-capacity frames BEFORE
+        # the timed loop: a program's first call can cost minutes of
         # remote compile/load — a one-time cost that belongs with the
         # other compiles (fps vs fps_steady), not in the steady half.
-        # batch=8 like the main prefetcher: a different batch width would
-        # be a different executable (another expensive compile).
         wpf = FramePrefetcher(frames[:2], ext, cam, batch=8, vocab=vocab)
         wvg = ViewGraph(cam, min_matches=50)
         try:
@@ -623,7 +861,7 @@ def bench_incremental(n_frames=200, gt_every=20, loop_closure=True):
         "dropped_frames": dropped,
         "gt_fixes": len([i for i in kept if i % gt_every == 0]),
         "loop_edges": loop_edges,
-        "vocab_train_s": round(vocab_train_s, 2),
+        "vocab_words": vocab_words,
         "fps": round(n_frames / total_s, 2),
         "fps_steady": round((n_frames - n_frames // 2) / steady_s, 2),
         "keyframes_per_s": round(len(kept) / total_s, 2),
@@ -635,34 +873,34 @@ def bench_incremental(n_frames=200, gt_every=20, loop_closure=True):
     }
 
 
-def bench_e2e(n_frames=100):
-    """Offline SLAM pipeline on a synthetic out-and-back sequence with GT.
+def bench_e2e(n_frames=None):
+    """Offline SLAM pipeline on a drift-accumulating synthetic sequence.
 
     Measured WITH loop closure (the reference's signature capability,
-    src/IRotAvg.cpp:295-353): a vocabulary is trained on the sequence's
-    own descriptors (capability parity with shipping ORBvoc.txt), BoW
-    candidates run through the full cascade, and verified loop edges join
-    the global solve.  One extra warm run without the vocabulary isolates
-    the loop-closure stage's cost and its accuracy payoff.
+    src/IRotAvg.cpp:295-353) using the >=100k-word product vocabulary,
+    and once WITHOUT to measure the loop-closure accuracy payoff.  The
+    sequence carries photometric noise + lens distortion (SEQ_NOISE), so
+    the undistortKeypoints (k1 != 0) and FAST two-threshold fallback
+    paths run in-product.  No GT anchoring here — drift must accumulate
+    for loop edges to have something to correct.
     """
     from scipy.spatial.transform import Rotation as Rsc
     from seqgen import make_sequence
     from irotavg_tpu.frontend.camera import Camera
     from irotavg_tpu.frontend.orb import ORBExtractor
     from irotavg_tpu.pipeline.offline import run_offline
-    from irotavg_tpu.placerec import train_vocabulary
 
-    frames, K, R_gt = make_sequence(n_frames=n_frames, seed=3, loop=True)
+    n_frames = n_frames or E2E_FRAMES
+    frames, K, R_gt = make_sequence(n_frames=n_frames, seed=3, loop=True,
+                                    **SEQ_NOISE)
     cam = Camera(fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2],
-                 width=640, height=480)
+                 width=640, height=480,
+                 k1=SEQ_NOISE["k1"], k2=SEQ_NOISE["k2"])
     ext = ORBExtractor(n_features=1000, n_levels=8)
 
     t0 = time.perf_counter()
-    from irotavg_tpu.frontend.prefetch import sample_descriptors
-
-    sample = sample_descriptors(frames, ext, stride=5, cap=400)
-    vocab = train_vocabulary(sample, k=8, L=3, seed=0)
-    vocab_train_s = time.perf_counter() - t0
+    vocab = product_vocab()
+    vocab_s = time.perf_counter() - t0
 
     def once(v):
         return run_offline(frames, cam, ext, vocab=v, batch=8,
@@ -672,7 +910,6 @@ def bench_e2e(n_frames=100):
     cold_s = res.stats["total_s"]
     res = once(vocab)               # warm: steady-state, full product
     total_s = res.stats["total_s"]
-    res_nl = once(None)             # warm, no loop closure (r02-comparable)
 
     def rmse(r):
         Rs = Rsc.from_quat(np.array(r.Q))
@@ -683,71 +920,180 @@ def bench_e2e(n_frames=100):
                 round(float(err.max()), 4))
 
     rmse_loop, max_loop = rmse(res)
-    rmse_nl, max_nl = rmse(res_nl)
+
+    out = {
+        "frames": n_frames,
+        "keyframes": len(res.keyframes),
+        "edges": int(len(res.edges)),
+        "loop_edges": int(res.loop_edges),
+        "loop_candidate_pairs": int(res.stats.get("loop_candidate_pairs", 0)),
+        "vocab_words": 0 if vocab is None else int(vocab.n_words),
+        "vocab_load_s": round(vocab_s, 2),
+        "fps_warm": round(n_frames / total_s, 2),
+        "fps_cold": round(n_frames / cold_s, 2),
+        "stage_s": {k: round(v, 3) for k, v in res.stats.items()
+                    if k.endswith("_s")},
+        "irls_iters": int(res.stats.get("irls_iters", -1)),
+        "rotation_rmse_deg": rmse_loop,
+        "rotation_max_err_deg": max_loop,
+    }
 
     # per-edge relative-rotation error vs GT: front-end accuracy isolated
-    # from trajectory drift (drift compounds per-edge noise over the
-    # chain, so small front-end shifts move the RMSE a lot)
+    # from trajectory drift
     kfs = np.asarray(res.keyframes)
     Rg = np.array(R_gt)
     R_rel_gt = Rg[kfs[res.edges[:, 1]]] @ np.swapaxes(
         Rg[kfs[res.edges[:, 0]]], 1, 2)
     q_rel_gt = Rsc.from_matrix(R_rel_gt).as_quat()
     edge_err = geo_deg(np.array(res.QQ), q_rel_gt)
+    out["edge_err_mean_deg"] = round(float(edge_err.mean()), 4)
+    out["edge_err_p90_deg"] = round(float(np.percentile(edge_err, 90)), 4)
 
-    stage_s = {k: round(v, 3) for k, v in res.stats.items()
-               if k.endswith("_s")}
-    return {
-        "frames": n_frames,
-        "keyframes": len(res.keyframes),
-        "edges": int(len(res.edges)),
-        "loop_edges": int(res.loop_edges),
-        "loop_candidate_pairs": int(res.stats.get("loop_candidate_pairs", 0)),
-        "fps_warm": round(n_frames / total_s, 2),
-        "fps_warm_noloop": round(n_frames / res_nl.stats["total_s"], 2),
-        "fps_cold": round(n_frames / cold_s, 2),
-        "vocab_train_s": round(vocab_train_s, 2),
-        "stage_s": stage_s,
-        "irls_iters": int(res.stats.get("irls_iters", -1)),
-        "edge_err_mean_deg": round(float(edge_err.mean()), 4),
-        "edge_err_p90_deg": round(float(np.percentile(edge_err, 90)), 4),
-        "rotation_rmse_deg": rmse_loop,
-        "rotation_max_err_deg": max_loop,
-        "rotation_rmse_deg_noloop": rmse_nl,
-        "rotation_max_err_deg_noloop": max_nl,
-    }
+    # loop-closure payoff: the same warm pipeline without the vocabulary
+    if _remaining() > 60:
+        res_nl = once(None)
+        rmse_nl, max_nl = rmse(res_nl)
+        out["fps_warm_noloop"] = round(
+            n_frames / res_nl.stats["total_s"], 2)
+        out["rotation_rmse_deg_noloop"] = rmse_nl
+        out["rotation_max_err_deg_noloop"] = max_nl
+        out["loop_gain"] = round(rmse_nl / max(rmse_loop, 1e-9), 2)
+    else:
+        out["rotation_rmse_deg_noloop"] = None
+    return out
+
+
+# ---------------------------------------------------------------------------
+# compact projections (keep the merged stdout line under the tail cap)
+# ---------------------------------------------------------------------------
+
+def _compact_of(name: str, full: dict) -> dict:
+    if "error" in full or "skipped" in full:
+        return {k: v for k, v in full.items() if k in ("error", "skipped")}
+    if name == "e2e":
+        return {
+            "fps_warm": full["fps_warm"], "fps_cold": full["fps_cold"],
+            "rmse_deg": full["rotation_rmse_deg"],
+            "rmse_noloop_deg": full.get("rotation_rmse_deg_noloop"),
+            "loop_gain": full.get("loop_gain"),
+            "loop_edges": full["loop_edges"],
+            "vocab_words": full["vocab_words"],
+        }
+    if name == "incremental":
+        return {
+            "fps": full["fps"], "fps_steady": full["fps_steady"],
+            "rmse_deg": full["rotation_rmse_deg"],
+            "loop_edges": full["loop_edges"],
+            "rotavg_ms_p50": full["rotavg_ms_p50"],
+            "vocab_words": full["vocab_words"],
+        }
+    if name == "windows":
+        return {
+            "wps": full["windows_per_s"], "vs_oracle": full["vs_oracle"],
+            "err_deg": full["mean_err_vs_gt_deg"],
+            "chol_knee_W": full.get("chol_knee_W"),
+            "chol_knee_solves_per_s": full.get("chol_knee_solves_per_s"),
+        }
+    if name == "vocab":
+        ps = full.get("production_scale", {})
+        return {
+            "k10L6_words": ps.get("n_words"),
+            "k10L6_text_mb": ps.get("text_mb"),
+            "k10L6_parse_s": ps.get("native_parse_s"),
+            "desc_per_s": full.get("transform_desc_per_s"),
+            "cascade_ms": full.get("cascade_query_ms"),
+        }
+    if name == "large":
+        return {
+            "n": full["n_views"], "solve_s": full["solve_s"],
+            "converged": full["converged"],
+            "err_deg": full["mean_err_vs_gt_deg"],
+        }
+    if name == "scaling":
+        comp = {}
+        for label, size in full.get("by_size", {}).items():
+            wc = size.get("by_devices", {}).get("8", {}).get(
+                "work_conservation")
+            comp[f"wc8_{label}"] = wc
+        return comp or {k: v for k, v in full.items() if k == "error"}
+    return {}
+
+
+# minimum seconds a section needs (warm cache) before it's worth starting
+_FLOOR = {
+    "scaling": 150, "incremental": 150, "e2e": 150,
+    "windows": 60, "vocab": 45, "large": 60,
+}
 
 
 def main():
     import jax
     from irotavg_tpu.utils.cache import enable_persistent_cache
 
+    _install_watchdog()
     enable_persistent_cache()
-    out = {
+    _COMPACT.update({
         "metric": "batch_ravg_solve_ms_m3655_n1832",
         "unit": "ms",
         "platform": jax.devices()[0].platform,
-    }
-    head = bench_headline()
-    out["value"] = head.pop("value")
-    out["vs_baseline"] = head.pop("vs_baseline")
-    out.update(head)
-    # product-path sections (e2e, incremental) run before the large-alloc
-    # sections: the 50k CG solve and the f64 subprocess measurably slow
-    # everything after them (allocator state + host contention)
-    for name, fn in (("e2e", bench_e2e), ("incremental", bench_incremental),
-                     ("windows", bench_windows), ("vocab", bench_vocab),
-                     ("large", bench_large), ("scaling", bench_scaling)):
+        "budget_s": _BUDGET,
+        "detail": "BENCH_FULL.json",
+        "skipped": [],
+    })
+    _FULL.update({k: _COMPACT[k] for k in
+                  ("metric", "unit", "platform", "budget_s")})
+
+    # headline first: it carries the metric line's required fields
+    try:
+        head = bench_headline()
+        _COMPACT["value"] = head["value"]
+        _COMPACT["vs_baseline"] = head["vs_baseline"]
+        _COMPACT["quality_ok"] = head["quality_ok"]
+        _FULL["headline"] = head
+        _FULL["value"] = head["value"]
+        _FULL["vs_baseline"] = head["vs_baseline"]
+    except Exception as e:
+        _COMPACT["value"] = -1.0
+        _COMPACT["vs_baseline"] = 0.0
+        _FULL["headline"] = {"error": f"{type(e).__name__}: {e}"}
+    _emit()
+
+    _COMPACT["sections"] = {}
+    for name, fn in (("scaling", bench_scaling),
+                     ("incremental", bench_incremental),
+                     ("e2e", bench_e2e),
+                     ("windows", bench_windows),
+                     ("vocab", bench_vocab),
+                     ("large", bench_large)):
+        if _remaining() < _FLOOR[name]:
+            _COMPACT["skipped"].append(name)
+            _FULL[name] = {"skipped": "budget",
+                           "remaining_s": round(_remaining(), 1)}
+            _emit()
+            continue
         try:
-            out[name] = fn()
+            full = fn()
         except Exception as e:  # a failed section must not sink the line
-            out[name] = {"error": f"{type(e).__name__}: {e}"}
-    print(json.dumps(out))
+            full = {"error": f"{type(e).__name__}: {e}"}
+        _FULL[name] = full
+        _COMPACT["sections"][name] = _compact_of(name, full)
+        _emit()
+    _emit(final=True)
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--crosscheck-f64":
         crosscheck_f64_main(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--build-vocab":
+        # development: (re)build the product vocabulary into the cache
+        from irotavg_tpu.utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
+        p = os.path.join(_cache_dir(), "product_vocab_k10_L5_v1.txt")
+        t0 = time.perf_counter()
+        v = build_product_vocab(p)
+        print(json.dumps({"n_words": v.n_words, "path": p,
+                          "build_s": round(time.perf_counter() - t0, 1)}))
     elif len(sys.argv) > 1 and sys.argv[1].startswith("--only="):
         # development: run one section, e.g. --only=windows
         name = sys.argv[1].split("=", 1)[1]

@@ -45,6 +45,11 @@ def main(argv=None):
                          "tunnel via sitecustomize; pass 'cpu' to override)")
     ap.add_argument("--n", type=int, default=50_000)
     ap.add_argument("--extra-edges", type=int, default=200_000)
+    ap.add_argument("--sizes", default=None,
+                    help="comma list of n:extra_edges pairs; overrides "
+                         "--n/--extra-edges and reports one block per "
+                         "size (small vs large separates collective "
+                         "overhead from CG work)")
     ap.add_argument("--devices", default="1,2,4,8")
     ap.add_argument("--outer-iters", type=int, default=6)
     ap.add_argument("--cg-iters", type=int, default=40)
@@ -58,6 +63,39 @@ def main(argv=None):
 
     import numpy as np
 
+    avail = len(jax.devices())
+    counts = [int(d) for d in args.devices.split(",") if int(d) <= avail]
+    if args.sizes:
+        sizes = [tuple(int(v) for v in s.split(":"))
+                 for s in args.sizes.split(",")]
+    else:
+        sizes = [(args.n, args.extra_edges)]
+
+    out = {
+        "platform": jax.devices()[0].platform,
+        "physical_cores_note": (
+            "virtual CPU devices timeshare host cores; see module doc"
+            if jax.devices()[0].platform == "cpu" else ""
+        ),
+        "outer_iters": args.outer_iters,
+        "cg_iters_per_outer": args.cg_iters,
+        "reps": args.reps,
+        "by_size": {},
+    }
+    for n, m_extra in sizes:
+        out["by_size"][f"{n // 1000}k"] = _probe_one(
+            n, m_extra, counts, args, jax, np
+        )
+    if len(sizes) == 1:   # pre-round-5 flat layout, kept for tooling
+        out.update(next(iter(out["by_size"].values())))
+    json.dump(out, sys.stdout)
+    print()
+
+
+def _probe_one(n, m_extra, counts, args, jax, np):
+    """One fixed-work scaling curve at a given problem size."""
+    import time as _time
+
     from irotavg_tpu.parallel.sharded import (
         make_graph_mesh, shard_graph, sharded_irls,
     )
@@ -67,7 +105,6 @@ def main(argv=None):
     # synthetic problem (same generator family as tests/synth.py, inlined
     # so the probe is importable outside the test tree)
     rng = np.random.default_rng(11)
-    n, m_extra = args.n, args.extra_edges
     from scipy.spatial.transform import Rotation as Rsc
 
     R_gt = Rsc.from_rotvec(rng.normal(scale=0.5, size=(n, 3)))
@@ -90,8 +127,6 @@ def main(argv=None):
     cfg = IRLSConfig(max_iters=args.outer_iters, change_th=0.0,
                      backend="cg", cg_tol=0.0, cg_maxiter=args.cg_iters)
 
-    avail = len(jax.devices())
-    counts = [int(d) for d in args.devices.split(",") if int(d) <= avail]
     results = {}
     lcm = max(counts)
     m_pad = ((len(edges) + lcm - 1) // lcm) * lcm
@@ -106,16 +141,23 @@ def main(argv=None):
         Q.block_until_ready()
         times = []
         for _ in range(args.reps):
-            t0 = time.perf_counter()
+            t0 = _time.perf_counter()
             Q, w, iters, score = solve(g)
             Q.block_until_ready()
-            times.append(time.perf_counter() - t0)
+            times.append(_time.perf_counter() - t0)
         results[d] = {
             "solve_s": round(float(np.median(times)), 3),
+            "solve_s_min": round(float(np.min(times)), 3),
             "iters": int(iters),
         }
 
+    # work conservation from per-count MINIMA: the minimum over reps is
+    # the least-contended observation of a fixed instruction stream, so
+    # min-ratios isolate sharding overhead from background host load
+    # (the medians drifted 0.86 -> 0.69 between r03 and r04 purely from
+    # co-running bench sections)
     t1 = results[counts[0]]["solve_s"]
+    t1_min = results[counts[0]]["solve_s_min"]
     on_cpu_mesh = jax.devices()[0].platform == "cpu"
     for d in counts:
         td = results[d]["solve_s"]
@@ -125,24 +167,15 @@ def main(argv=None):
             # constant-work ratio: ~1.0 means the distributed program adds
             # no overhead over the 1-device run (see module docstring).
             # Only meaningful on the timeshared virtual mesh — on real
-            # chips t1/td is genuine speedup, and reporting it under this
-            # name would contradict the "~1 is healthy" interpretation.
-            results[d]["work_conservation"] = round(t1 / td, 3)
+            # chips t1/td is genuine speedup.
+            results[d]["work_conservation"] = round(
+                t1_min / results[d]["solve_s_min"], 3)
 
-    out = {
-        "platform": jax.devices()[0].platform,
-        "physical_cores_note": (
-            "virtual CPU devices timeshare host cores; see module doc"
-            if jax.devices()[0].platform == "cpu" else ""
-        ),
+    return {
         "n_views": n,
         "n_edges": int(len(edges)),
-        "outer_iters": args.outer_iters,
-        "cg_iters_per_outer": args.cg_iters,
         "by_devices": {str(k): v for k, v in results.items()},
     }
-    json.dump(out, sys.stdout)
-    print()
 
 
 if __name__ == "__main__":

@@ -9,6 +9,8 @@ reference's loop-candidate cascade, and host-side vocabulary training
 (hierarchical k-means with kmeans++ seeding and bit-majority means).
 """
 
-from irotavg_tpu.placerec.vocabulary import Vocabulary, train_vocabulary  # noqa: F401
+from irotavg_tpu.placerec.vocabulary import (  # noqa: F401
+    Vocabulary, train_vocabulary, train_vocabulary_flat,
+)
 from irotavg_tpu.placerec.bow import bow_score  # noqa: F401
 from irotavg_tpu.placerec.database import ViewDatabase  # noqa: F401

@@ -32,3 +32,23 @@ jax.config.update("jax_enable_x64", True)
 from irotavg_tpu.utils.cache import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache()
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Under a pytest-xdist worker, skip @pytest.mark.perf tests.
+
+    Those tests assert wall-time properties (work-conservation ratios,
+    subprocess deadlines) that hold on an uncontended host but not when
+    N workers timeshare the cores — a correctness suite must be green
+    under ``-n 4`` regardless of runner parallelism.  They still run in
+    serial invocations (and ``pytest -m perf``).
+    """
+    if not os.environ.get("PYTEST_XDIST_WORKER"):
+        return
+    skip = pytest.mark.skip(
+        reason="perf-sensitive: runs serially only (see pytest.ini)")
+    for item in items:
+        if "perf" in item.keywords:
+            item.add_marker(skip)

@@ -26,12 +26,42 @@ def _texture(rng, size=400):
     return tex
 
 
+def _distortion_maps(K, k1, k2, size):
+    """Sampling maps that APPLY radial distortion to an ideal pinhole
+    render: distorted(p_d) = ideal(undistort(p_d)).  Uses the same
+    fixed-point undistortion scheme as the runtime Camera
+    (cv::undistortPoints; src/Frame.cpp:102-139 consumes the inverse)."""
+    w, h = size
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    u, v = np.meshgrid(np.arange(w, dtype=np.float64),
+                       np.arange(h, dtype=np.float64))
+    xd = (u - cx) / fx
+    yd = (v - cy) / fy
+    xu, yu = xd, yd
+    for _ in range(5):
+        r2 = xu * xu + yu * yu
+        k_radial = 1.0 + k1 * r2 + k2 * r2 * r2
+        xu = xd / k_radial
+        yu = yd / k_radial
+    return ((xu * fx + cx).astype(np.float32),
+            (yu * fy + cy).astype(np.float32))
+
+
 def make_sequence(n_frames=15, size=(640, 480), fx=500.0, seed=0,
-                  step=0.25, yaw_deg_per_frame=0.8, loop=False):
-    """Returns (frames [uint8 images], K, R_gt (n,3,3) world->cam)."""
+                  step=0.25, yaw_deg_per_frame=0.8, loop=False,
+                  noise_sigma=0.0, blur_sigma=0.0, k1=0.0, k2=0.0):
+    """Returns (frames [uint8 images], K, R_gt (n,3,3) world->cam).
+
+    ``noise_sigma``/``blur_sigma`` add per-frame sensor noise and optical
+    blur; ``k1``/``k2`` render through a radially-distorting lens (the
+    caller must then construct its Camera with the same coefficients so
+    the undistortKeypoints path runs, src/Frame.cpp:102-139).  Defaults
+    reproduce the clean pinhole sequences of earlier rounds.
+    """
     rng = np.random.default_rng(seed)
     w, h = size
     K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]])
+    dist_maps = _distortion_maps(K, k1, k2, size) if k1 != 0.0 else None
 
     # planes: big background + staggered foreground panels (parallax)
     planes = []
@@ -88,6 +118,18 @@ def make_sequence(n_frames=15, size=(640, 480), fx=500.0, seed=0,
                 np.full(tex.shape, 255, np.uint8), H, (w, h)
             )
             canvas = np.where(mask > 128, warped, canvas)
+        if dist_maps is not None:
+            canvas = cv2.remap(canvas, dist_maps[0], dist_maps[1],
+                               cv2.INTER_LINEAR,
+                               borderMode=cv2.BORDER_REPLICATE)
+        if blur_sigma > 0:
+            canvas = cv2.GaussianBlur(canvas, (0, 0), blur_sigma)
+        if noise_sigma > 0:
+            canvas = np.clip(
+                canvas.astype(np.float32)
+                + rng.normal(scale=noise_sigma, size=canvas.shape),
+                0, 255,
+            ).astype(np.uint8)
         frames.append(canvas)
         R_gt.append(R)
     return frames, K, np.stack(R_gt)

@@ -111,8 +111,13 @@ def test_l1_irls_cli(tmp_path):
     assert np.all(w >= 0) and np.all(w <= 1e4)
 
 
+@pytest.mark.perf
 def test_irotavg_cli_end_to_end(tmp_path):
-    """Full SLAM CLI over a synthetic image sequence."""
+    """Full SLAM CLI over a synthetic image sequence.
+
+    perf-marked: the subprocess runs the whole pipeline under a 600 s
+    deadline — comfortably met serially (~250 s) but not with N xdist
+    workers contending for the cores."""
     sys.path.insert(0, os.path.join(REPO, "tests"))
     from seqgen import make_sequence
     from PIL import Image

@@ -4,30 +4,59 @@ import io
 import json
 import sys
 
+import pytest
+
 from irotavg_tpu.parallel import scaling_probe
 
 
-def test_probe_runs_and_reports_all_device_counts():
+def _run_probe(args):
     buf = io.StringIO()
     old = sys.stdout
     sys.stdout = buf
     try:
-        scaling_probe.main([
-            "--n", "20000", "--extra-edges", "60000",
-            "--devices", "1,2,4,8", "--outer-iters", "2",
-            "--cg-iters", "15", "--reps", "1",
-        ])
+        scaling_probe.main(args)
     finally:
         sys.stdout = old
-    out = json.loads(buf.getvalue())
+    return json.loads(buf.getvalue())
+
+
+def test_probe_runs_and_reports_all_device_counts():
+    out = _run_probe([
+        "--n", "20000", "--extra-edges", "60000",
+        "--devices", "1,2,4,8", "--outer-iters", "2",
+        "--cg-iters", "15", "--reps", "1",
+    ])
     assert set(out["by_devices"]) == {"1", "2", "4", "8"}
     for d, row in out["by_devices"].items():
         # fixed work: every device count runs the full outer-iteration count
         assert row["iters"] == 2
         assert row["solve_s"] > 0
-    # the distributed program must not blow up the constant-work runtime
-    # (virtual devices timeshare host cores: overhead, not speedup, is
-    # what this measures — see the module docstring).  At this reduced
-    # size the run is partially dispatch-dominated, so the bound is
-    # loose; the bench artifact at 50k views measures ~0.9.
+        assert row["solve_s_min"] <= row["solve_s"]
+
+
+def test_probe_multi_size_layout():
+    out = _run_probe([
+        "--sizes", "2000:6000,4000:12000",
+        "--devices", "1,2", "--outer-iters", "1",
+        "--cg-iters", "5", "--reps", "1",
+    ])
+    assert set(out["by_size"]) == {"2k", "4k"}
+    for blk in out["by_size"].values():
+        assert set(blk["by_devices"]) == {"1", "2"}
+    # multi-size output has no ambiguous flat block
+    assert "by_devices" not in out
+
+
+@pytest.mark.perf
+def test_probe_work_conservation_bound():
+    """The distributed program must not blow up the constant-work
+    runtime (virtual devices timeshare host cores: overhead, not
+    speedup, is what this measures — see the module docstring).  A
+    wall-time ratio, so perf-marked: valid serially on an uncontended
+    host only; the bench artifact at 50k views measures ~0.9."""
+    out = _run_probe([
+        "--n", "20000", "--extra-edges", "60000",
+        "--devices", "1,8", "--outer-iters", "2",
+        "--cg-iters", "15", "--reps", "3",
+    ])
     assert out["by_devices"]["8"]["work_conservation"] > 0.3
