@@ -91,9 +91,14 @@ class Frame:
         self.bow = None          # (word_id -> weight) dict, L1-normalised
         self.feat_nodes = None   # (N,) int32 vocab node id at levelsup
 
-        if camera.has_distortion:
-            # undistortion is host math over the (rare) distorted-camera
-            # path; it forces the one bundled fetch, and the results are
+        if "xu" in out:
+            # the batched extractor already undistorted in-program
+            # (frontend/prefetch.py:_undistort_xla) — no extra transfers
+            self._device["xu"] = out["xu"]
+            self._device["yu"] = out["yu"]
+        elif camera.has_distortion:
+            # direct-construction fallback: undistortion as host math; it
+            # forces the one bundled fetch, and the results are
             # re-uploaded once for the device matchers
             import jax.numpy as jnp
 

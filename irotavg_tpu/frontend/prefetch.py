@@ -24,8 +24,34 @@ import numpy as np
 from irotavg_tpu.frontend.frame import Frame
 
 
+def _undistort_xla(x, y, dist):
+    """In-program iterative undistortion (the same fixed-point scheme as
+    Camera.undistort_points / cv::undistortPoints).  Keeping this inside
+    the batched extractor program matters on a tunneled device: the host
+    fallback is one blocking fetch + two uploads PER FRAME (~75 ms),
+    which would dominate the per-frame budget whenever k1 != 0
+    (src/Frame.cpp:102-139)."""
+    import jax.numpy as jnp
+
+    fx, fy, cx, cy, k1, k2, p1, p2 = dist
+    xd = (x - cx) / fx
+    yd = (y - cy) / fy
+    xu, yu = xd, yd
+    for _ in range(5):
+        r2 = xu * xu + yu * yu
+        k_radial = 1.0 + k1 * r2 + k2 * r2 * r2
+        dx = 2 * p1 * xu * yu + p2 * (r2 + 2 * xu * xu)
+        dy = p1 * (r2 + 2 * yu * yu) + 2 * p2 * xu * yu
+        xu = (xd - dx) / k_radial
+        yu = (yd - dy) / k_radial
+    return (xu * fx + cx).astype(jnp.float32), (
+        yu * fy + cy).astype(jnp.float32)
+
+
 @lru_cache(maxsize=8)
-def _batched_extractor(h: int, w: int, batch: int, params):
+def _batched_extractor(h: int, w: int, batch: int, params, dist=None):
+    """``dist``: optional (fx, fy, cx, cy, k1, k2, p1, p2) float tuple —
+    when given, undistorted coordinates ride the same program."""
     import jax
 
     from irotavg_tpu.frontend.orb import _compiled_extractor
@@ -35,6 +61,11 @@ def _batched_extractor(h: int, w: int, batch: int, params):
     @jax.jit
     def run(imgs, th_hi, th_lo):
         out = jax.vmap(lambda im: single(im, th_hi, th_lo))(imgs)
+        if dist is not None:
+            out = dict(out)
+            out["xu"], out["yu"] = _undistort_xla(
+                out["x0"].astype(jax.numpy.float32),
+                out["y0"].astype(jax.numpy.float32), dist)
         # split into per-frame pytrees inside the program: each frame's
         # arrays come back as separate output buffers, so downstream
         # consumers never slice a batched device array op-by-op
@@ -43,6 +74,14 @@ def _batched_extractor(h: int, w: int, batch: int, params):
         )
 
     return run
+
+
+def _dist_tuple(camera):
+    if camera is None or not camera.has_distortion:
+        return None
+    return tuple(float(v) for v in (camera.fx, camera.fy, camera.cx,
+                                    camera.cy, camera.k1, camera.k2,
+                                    camera.p1, camera.p2))
 
 
 def sample_descriptors(images, extractor, *, batch: int = 8,
@@ -113,7 +152,8 @@ class FramePrefetcher:
                 [imgs, np.repeat(imgs[-1:], self.batch - (hi - lo), axis=0)]
             )
         run = _batched_extractor(imgs.shape[1], imgs.shape[2], self.batch,
-                                 self.extractor.params)
+                                 self.extractor.params,
+                                 _dist_tuple(self.camera))
         outs = run(imgs, np.float32(self.extractor.params.ini_th_fast),
                    np.float32(self.extractor.params.min_th_fast))
         bows = [None] * (hi - lo)

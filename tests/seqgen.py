@@ -48,7 +48,7 @@ def _distortion_maps(K, k1, k2, size):
 
 
 def make_sequence(n_frames=15, size=(640, 480), fx=500.0, seed=0,
-                  step=0.25, yaw_deg_per_frame=0.8, loop=False,
+                  step=0.25, yaw_deg_per_frame=0.8, loop=False, passes=1,
                   noise_sigma=0.0, blur_sigma=0.0, k1=0.0, k2=0.0):
     """Returns (frames [uint8 images], K, R_gt (n,3,3) world->cam).
 
@@ -80,12 +80,25 @@ def make_sequence(n_frames=15, size=(640, 480), fx=500.0, seed=0,
         planes.append((corners, tex, z))
     planes.sort(key=lambda p: -p[2])  # far to near
 
-    if loop:
-        # out-and-back sweep revisiting the start; the return pass is
-        # offset by half a step so no two consecutive poses coincide
-        # (a full stop livelocks the adaptive search radius — in the
-        # reference too: rad = 2*m_local_rad with only x1.25^5 escalation,
-        # src/ViewGraph.cpp:840,893)
+    if loop and passes > 1:
+        # triangle-wave sweep: ``passes`` out-and-back round trips over
+        # the same span, each leg offset by 0.21 of a step so no two
+        # poses ever coincide (a full stop livelocks the adaptive search
+        # radius — in the reference too, src/ViewGraph.cpp:840,893).
+        # Repeated revisits are the loop-closure workload: place
+        # recognition ties every pass back to the first, while the
+        # no-loop odometry chain keeps accumulating drift.
+        seg = max(n_frames // (2 * passes), 2)
+        t = np.arange(n_frames)
+        phase = t % (2 * seg)
+        tri = np.where(phase < seg, phase, 2 * seg - phase).astype(float)
+        leg = t // seg            # increments each half-pass
+        u = tri + 0.21 * (leg % 4)
+        yaws = u * yaw_deg_per_frame
+        xs = u * step
+    elif loop:
+        # single out-and-back revisiting the start; the return pass is
+        # offset by half a step (same no-coincidence rationale)
         h1 = n_frames // 2
         h2 = n_frames - h1
         fwd = np.arange(h1, dtype=np.float64)

@@ -40,6 +40,24 @@ def test_noisy_sequence_changes_pixels_but_keeps_gt():
     assert np.abs(clean[0].astype(int) - noisy[0].astype(int)).mean() > 2.0
 
 
+def test_prefetch_inprogram_undistortion_matches_host():
+    """The batched extractor's in-program undistortion (one device
+    program, no per-frame transfers) agrees with the host Camera math."""
+    from irotavg_tpu.frontend.orb import ORBExtractor
+    from irotavg_tpu.frontend.prefetch import FramePrefetcher
+
+    frames, K, _ = make_sequence(n_frames=2, seed=1, **NOISE)
+    cam = Camera(fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2],
+                 width=640, height=480, k1=NOISE["k1"], k2=NOISE["k2"])
+    ext = ORBExtractor(n_features=500, n_levels=8)
+    f = FramePrefetcher(frames, ext, cam, batch=2).frame(0)
+    v = f.valid
+    assert v.sum() > 50
+    xu_host, yu_host = cam.undistort_points(f.x, f.y)
+    np.testing.assert_allclose(f.xu[v], xu_host[v], atol=0.05)
+    np.testing.assert_allclose(f.yu[v], yu_host[v], atol=0.05)
+
+
 @pytest.mark.slow
 def test_offline_accuracy_on_noisy_distorted_sequence():
     """The pipeline holds accuracy through noise + k1 != 0 undistortion:

@@ -44,7 +44,12 @@ def test_flat_trainer_structure_and_io():
         assert v2.n_words == v.n_words
         b1, n1 = v.transform(imgs[0])
         b2, n2 = v2.transform(imgs[0])
-        assert b1 == b2
+        # same words; weights agree to the text format's %.6g precision
+        assert set(b1) == set(b2)
+        np.testing.assert_allclose(
+            [b1[k] for k in sorted(b1)], [b2[k] for k in sorted(b2)],
+            rtol=1e-5,
+        )
         np.testing.assert_array_equal(n1, n2)
 
 
@@ -68,7 +73,7 @@ def test_flat_trainer_numpy_descent_matches_jax_transform():
 def test_flat_trainer_discriminative():
     rng = np.random.default_rng(5)
     imgs = _noisy_images(rng, n_img=16, per=300)
-    v = train_vocabulary_flat(imgs, k=8, L=2, seed=0, iters=4)
+    v = train_vocabulary_flat(imgs, k=8, L=3, seed=0, iters=4)
     b0, _ = v.transform(imgs[0])
     # noisy re-observation of image 0
     d = imgs[0].copy()

@@ -39,8 +39,9 @@ def main():
         noise = {}
 
     t0 = time.perf_counter()
-    frames, K, R_gt = make_sequence(n_frames=n_frames, seed=seed, loop=True,
-                                    **noise)
+    frames, K, R_gt = make_sequence(
+        n_frames=n_frames, seed=seed, loop=True,
+        passes=int(os.environ.get("DIAG_PASSES", "1")), **noise)
     print(f"seqgen {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     cam = Camera(fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2],
                  width=640, height=480,

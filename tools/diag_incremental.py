@@ -47,8 +47,10 @@ def main():
     noise = dict(noise_sigma=5.0, blur_sigma=0.6, k1=-0.28, k2=0.07)
     if os.environ.get("DIAG_CLEAN"):
         noise = {}
-    frames, K, R_gt = make_sequence(n_frames=n_frames, seed=seed, loop=True,
-                                    **noise)
+    noise["noise_sigma"] = float(os.environ.get("DIAG_NOISE", "5.0"))
+    frames, K, R_gt = make_sequence(
+        n_frames=n_frames, seed=seed, loop=True,
+        passes=int(os.environ.get("DIAG_PASSES", "1")), **noise)
     cam = Camera(fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2],
                  width=640, height=480,
                  k1=noise.get("k1", 0.0), k2=noise.get("k2", 0.0))
