@@ -47,6 +47,7 @@ class OfflineResult:
     QQ: np.ndarray             # (M, 4) relative rotations per edge
     n_matches: np.ndarray      # (M,) inlier matches per edge
     loop_edges: int            # how many edges came from loop closure
+    loop_mask: np.ndarray      # (M,) bool, True where the edge is a loop edge
     stats: dict                # stage timing / solve stats
 
 
@@ -272,6 +273,7 @@ def run_offline(images, camera, extractor, *, vocab=None,
 
     # -- stage 4: loop closure (optional) ------------------------------------
     loop_edges = 0
+    loop_mask = np.zeros(len(edges), bool)
     if vocab is not None:
         t0 = time.perf_counter()
         from irotavg_tpu.placerec.bow import bow_score
@@ -343,6 +345,8 @@ def run_offline(images, camera, extractor, *, vocab=None,
                 QQ = np.concatenate([QQ, QQ2])
                 n_matches = np.concatenate([n_matches, ns2[ok]])
                 loop_edges = int(ok.sum())
+                loop_mask = np.concatenate(
+                    [loop_mask, np.ones(loop_edges, bool)])
         stats["loop_s"] = time.perf_counter() - t0
         stats["loop_candidate_pairs"] = len(cand_pairs)
 
@@ -350,6 +354,7 @@ def run_offline(images, camera, extractor, *, vocab=None,
     t0 = time.perf_counter()
     order = np.lexsort((edges[:, 0], edges[:, 1]))
     edges, QQ, n_matches = edges[order], QQ[order], n_matches[order]
+    loop_mask = loop_mask[order]
     Q0 = np.zeros((K, 4))
     Q0[0] = [0, 0, 0, 1]
     Q0 = init_mst(Q0, QQ, edges, 1)
@@ -370,7 +375,8 @@ def run_offline(images, camera, extractor, *, vocab=None,
 
     return OfflineResult(
         Q=Qf, keyframes=list(map(int, keyframes)), edges=edges, QQ=QQ,
-        n_matches=n_matches, loop_edges=loop_edges, stats=stats,
+        n_matches=n_matches, loop_edges=loop_edges, loop_mask=loop_mask,
+        stats=stats,
     )
 
 

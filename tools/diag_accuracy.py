@@ -39,9 +39,16 @@ def main():
         noise = {}
 
     t0 = time.perf_counter()
-    frames, K, R_gt = make_sequence(
-        n_frames=n_frames, seed=seed, loop=True,
-        passes=int(os.environ.get("DIAG_PASSES", "1")), **noise)
+    if os.environ.get("DIAG_RING"):
+        from seqgen import make_ring_sequence
+
+        frames, K, R_gt = make_ring_sequence(
+            n_frames=n_frames, seed=seed,
+            laps=float(os.environ.get("DIAG_LAPS", "2")), **noise)
+    else:
+        frames, K, R_gt = make_sequence(
+            n_frames=n_frames, seed=seed, loop=True,
+            passes=int(os.environ.get("DIAG_PASSES", "1")), **noise)
     print(f"seqgen {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     cam = Camera(fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2],
                  width=640, height=480,
@@ -109,8 +116,13 @@ def main():
                       min_matches=40)
     t_l = time.perf_counter() - t0
     r_l, m_l = rmse(res)
+    e_l, _ = edge_stats(res)
+    lm = res.loop_mask
     print(json.dumps({
         "loop": {
+            "loop_edge_err_mean": (round(float(e_l[lm].mean()), 3)
+                                   if lm.any() else None),
+            "seq_edge_err_mean": round(float(e_l[~lm].mean()), 3),
             "s": round(t_l, 1), "kf": len(res.keyframes),
             "edges": int(len(res.edges)),
             "loop_edges": int(res.loop_edges),
