@@ -40,6 +40,26 @@ def test_noisy_sequence_changes_pixels_but_keeps_gt():
     assert np.abs(clean[0].astype(int) - noisy[0].astype(int)).mean() > 2.0
 
 
+def test_fast_two_threshold_fallback_contributes_on_noisy_frames():
+    """The FAST low-threshold fallback (cells where no corner clears the
+    high threshold retry at min_th, src/ORBExtractor.cpp:833-842) must
+    actually fire on the bench imagery: running the same extractor with
+    the fallback disabled (th_lo == th_hi) must find fewer keypoints."""
+    from seqgen import make_ring_sequence
+    from irotavg_tpu.frontend.orb import ORBExtractor
+
+    frames, K, _ = make_ring_sequence(n_frames=1, seed=3, laps=0.01,
+                                      **NOISE)
+    ext = ORBExtractor(n_features=1000, n_levels=8)
+    with_fb = ext(frames[0])
+    n_with = int(np.asarray(with_fb["valid"]).sum())
+    ext2 = ORBExtractor(n_features=1000, n_levels=8,
+                        ini_th_fast=20, min_th_fast=20)
+    n_without = int(np.asarray(ext2(frames[0])["valid"]).sum())
+    assert n_with > n_without, (
+        f"fallback contributed nothing: {n_with} vs {n_without}")
+
+
 def test_prefetch_inprogram_undistortion_matches_host():
     """The batched extractor's in-program undistortion (one device
     program, no per-frame transfers) agrees with the host Camera math."""
