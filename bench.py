@@ -408,9 +408,13 @@ def bench_large(n=50_000, m_extra=200_000):
     Q, w, iters, score = irls(g, cfg)  # compile + warmup
     Q.block_until_ready()
     times = []
-    for _ in range(3):
+    for r in range(3):
+        # per-rep input perturbation: the backend short-circuits repeated
+        # IDENTICAL calls (observed solve_s == 0.0 otherwise); 1e-7 on a
+        # 3-deg-perturbed warm start does not change convergence
+        gr = dataclasses.replace(g, Q=g.Q + jnp.float32((r + 1) * 1e-7))
         t0 = time.perf_counter()
-        Q, w, iters, score = irls(g, cfg)
+        Q, w, iters, score = irls(gr, cfg)
         Q.block_until_ready()
         times.append(time.perf_counter() - t0)
     Qn = np.asarray(so3.qnormalize(Q))
