@@ -934,9 +934,12 @@ def bench_e2e(n_frames=None):
     vocab = product_vocab()
     vocab_s = time.perf_counter() - t0
 
+    e2e_batch = int(os.environ.get("E2E_BATCH", "8"))
+    e2e_chunk = int(os.environ.get("E2E_CHUNK", "8"))
+
     def once(v):
-        return run_offline(frames, cam, ext, vocab=v, batch=8,
-                           chunk=8, min_matches=40)
+        return run_offline(frames, cam, ext, vocab=v, batch=e2e_batch,
+                           chunk=e2e_chunk, min_matches=40)
 
     res = once(vocab)               # cold: includes every compile
     cold_s = res.stats["total_s"]
@@ -1063,15 +1066,21 @@ _FLOOR = {
 
 
 def main():
-    import jax
-    from irotavg_tpu.utils.cache import enable_persistent_cache
-
     _install_watchdog()
-    enable_persistent_cache()
+    # even a dead device tunnel must leave a parseable record
+    try:
+        from irotavg_tpu.utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
+        import jax
+
+        platform = jax.devices()[0].platform
+    except Exception as e:
+        platform = f"error:{type(e).__name__}"
     _COMPACT.update({
         "metric": "batch_ravg_solve_ms_m3655_n1832",
         "unit": "ms",
-        "platform": jax.devices()[0].platform,
+        "platform": platform,
         "budget_s": _BUDGET,
         "detail": "BENCH_FULL.json",
         "skipped": [],
