@@ -33,6 +33,7 @@ this mode trades step-for-step parity for batch shape):
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 
@@ -88,10 +89,18 @@ def run_offline(images, camera, extractor, *, vocab=None,
 
     # -- stage 1: batched extraction ----------------------------------------
     B = len(images)
-    # upload uint8, cast on device — 4x less interconnect traffic
-    ext_batched = jax.jit(jax.vmap(
-        lambda im: _extract_one(extractor, im.astype(jnp.float32))
-    ))
+    # upload uint8, cast on device — 4x less interconnect traffic.
+    # The jitted wrapper MUST be process-cached: a fresh jax.jit(lambda)
+    # per run is a new executable identity, and on this backend every
+    # identity pays the remote program-load lottery (measured ~7 s per
+    # run_offline call — the whole stage's former wall time).
+    ext_batched = _ext_batched(extractor.params)
+    # Dispatch discipline: ONE op per batch (numpy images ride the call's
+    # upload), whole-batch outputs kept as-is, then ONE concatenate+slice
+    # per key for the whole sequence.  The previous per-batch tail slices
+    # (12 device ops x n_batches through the tunnel at ~26 ms each) were
+    # the real cost of this stage — 7 s wall against ~0.2 s of extraction
+    # device compute after the banded-blur kernel fix.
     feats = {}
     for lo, hi in _chunks(B, batch):
         imgs = np.stack([
@@ -103,12 +112,12 @@ def run_offline(images, camera, extractor, *, vocab=None,
             imgs = np.concatenate(
                 [imgs, np.repeat(imgs[-1:], batch - (hi - lo), axis=0)]
             )
-        out = ext_batched(jnp.asarray(imgs))
+        out = ext_batched(imgs)
         for k_, v in out.items():
-            feats.setdefault(k_, []).append(v[: hi - lo])
+            feats.setdefault(k_, []).append(v)
         if progress:
             progress(f"extracted {hi}/{B}")
-    feats = {k_: jnp.concatenate(v) for k_, v in feats.items()}
+    feats = {k_: jnp.concatenate(v)[:B] for k_, v in feats.items()}
     # device-resident stacked features (B, N, ...)
     desc = feats["desc"]
     valid = feats["valid"]
@@ -382,11 +391,28 @@ def run_offline(images, camera, extractor, *, vocab=None,
 
 def _extract_one(extractor, im):
     """Single-image extraction inside vmap (reuses the per-size program)."""
+    return _extract_one_p(extractor.params, im)
+
+
+def _extract_one_p(params, im):
     from irotavg_tpu.frontend.orb import _compiled_extractor
 
     import jax.numpy as jnp
 
     h, w = im.shape
-    fn = _compiled_extractor(h, w, extractor.params)
-    return fn(im, jnp.float32(extractor.params.ini_th_fast),
-              jnp.float32(extractor.params.min_th_fast))
+    fn = _compiled_extractor(h, w, params)
+    return fn(im, jnp.float32(params.ini_th_fast),
+              jnp.float32(params.min_th_fast))
+
+
+@functools.lru_cache(maxsize=8)
+def _ext_batched(params):
+    """Process-cached jitted batch extractor keyed by the (hashable)
+    OrbParams — one executable identity per settings, for every
+    run_offline call in the process."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(jax.vmap(
+        lambda im: _extract_one_p(params, im.astype(jnp.float32))
+    ))
