@@ -939,7 +939,9 @@ def bench_e2e(n_frames=None):
 
     def once(v):
         return run_offline(frames, cam, ext, vocab=v, batch=e2e_batch,
-                           chunk=e2e_chunk, min_matches=40)
+                           chunk=e2e_chunk, min_matches=40,
+                           refine_iters=int(os.environ.get(
+                               "E2E_REFINE_ITERS", "10")))
 
     res = once(vocab)               # cold: includes every compile
     cold_s = res.stats["total_s"]

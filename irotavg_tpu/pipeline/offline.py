@@ -61,7 +61,8 @@ def run_offline(images, camera, extractor, *, vocab=None,
                 cfg: PipelineConfig | None = None, batch: int = 8,
                 chunk: int = 8, min_matches: int | None = None,
                 win_size: int | None = None, seed: int = 0,
-                keyframe_gate_px: float = 5.0, progress=None) -> OfflineResult:
+                keyframe_gate_px: float = 5.0, refine_iters: int = 10,
+                progress=None) -> OfflineResult:
     """Run the full batched pipeline over a sequence of grayscale images.
 
     ``images`` is a sequence of arrays or callables returning arrays
@@ -216,6 +217,7 @@ def run_offline(images, camera, extractor, *, vocab=None,
                 rad_arr[sel], K_inv, sigma2, camv, th_norm,
                 np.uint32((key0 + lo) & 0xFFFFFFFF),
                 np.int32(min_matches),
+                max_iters=refine_iters,
             )))
         for lo, hi, out in pending:
             E, R, t, n_che, m12, success = jax.device_get(out)
