@@ -32,7 +32,6 @@ Prints one JSON object to stdout.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import sys
 import time

@@ -27,8 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from irotavg_tpu.ops.hamming import hamming_matrix
-
 SCORING_NAMES = ["L1", "L2", "CHI_SQUARE", "KL", "BHATTACHARYYA", "DOT_PRODUCT"]
 WEIGHTING_NAMES = ["TF_IDF", "TF", "IDF", "BINARY"]
 
